@@ -1,0 +1,154 @@
+"""Configuration dataclasses + YAML loading.
+
+Field names and defaults mirror the reference configs so a reference user can
+bring their YAML over unchanged:
+  - KVAEConfig      <- reference kvae/utils/config.py:4-60
+  - TrainingConfig  <- reference kvae/train/train.py:342-359
+  - YAML layout     <- reference kvae/train/config.yaml (dataset/transforms/
+                       training/kvae sections)
+
+TPU-native additions (all optional, default off / auto):
+  - filter_impl: "scan" | "assoc" | "pallas" — which filter implementation the
+    model uses ("assoc" = O(log T) parallel-in-time associative scan,
+    "pallas" = fused VMEM kernel; both validated against "scan" in tests).
+  - compute_dtype: "float32" | "bfloat16" for the conv/MLP compute path
+    (KF numerics always run in float32).
+  - mesh_shape / data_axis: data-parallel mesh spec.
+"""
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional
+
+import yaml
+
+
+@dataclass
+class KVAEConfig:
+    # Data
+    img_channels: int = 1
+    img_size: int = 32
+
+    # Latent dims
+    a_dim: int = 2
+    z_dim: int = 4
+    u_dim: Optional[int] = None  # defaults to z_dim
+
+    # LGSSM / mixture
+    num_modes: int = 3              # K
+    sticky_p_stay: float = 0.8      # self-transition prob of the sticky regime prior
+    tau_init: float = 1.0           # initial Gumbel-Softmax temperature
+    tau_decay_rate: float = 0.995
+    tau_decay_steps: int = 1
+    tau_min: float = 0.2
+    dynamics_model: str = "switching"  # "switching" or "lstm"
+    noise_emission: float = 0.03    # measurement noise VARIANCE (on a)
+    noise_transition: float = 0.02  # process noise VARIANCE (on z)
+    init_cov: float = 20.0          # initial state variance
+    init_kf_matrices: float = 0.05  # std for B,C init (A inits to identity)
+
+    # VAE arch
+    out_distr: str = "bernoulli"    # "bernoulli" or "gaussian"
+    encoder_channels: Optional[List[int]] = None
+    encoder_kernel_size: int = 3
+    encoder_stride: int = 2
+    encoder_padding: int = 1
+
+    decoder_channels: Optional[List[int]] = None
+    decoder_kernel_size: int = 3
+    decoder_stride: int = 2
+    decoder_padding: int = 1
+
+    noise_pixel_var: float = 0.1
+    scale_reconstruction: float = 0.3
+
+    # Beta (KL) annealing schedule
+    scheduled_beta: bool = True
+    start_epoch: int = 0
+    end_epoch: int = 5
+    start_val: float = 0.0
+    end_val: float = 1.0
+
+    # Alpha / dynamics network
+    dynamics_hidden_dim: int = 50
+    t_init_mask: int = 4
+    t_steps_mask: int = 12
+
+    # --- TPU-native knobs (no reference equivalent) ---
+    filter_impl: str = "scan"        # "scan" | "assoc" | "pallas"
+    compute_dtype: str = "float32"   # conv/MLP compute dtype ("bfloat16" for perf)
+
+    def __post_init__(self):
+        if self.u_dim is None:
+            self.u_dim = self.z_dim
+        if self.encoder_channels is None:
+            self.encoder_channels = [32, 32, 32]
+        if self.decoder_channels is None:
+            self.decoder_channels = [32, 32, 32]
+
+
+@dataclass
+class TrainingConfig:
+    seed: int = 10
+    max_epochs: int = 80
+    lr: float = 1e-3
+    batch_size: int = 32
+    grad_clip_norm: float = 10.0
+    decay_rate: float = 0.85       # LR exponential decay factor
+    decay_steps: int = 20          # apply LR decay every N epochs
+    weight_decay: float = 0.0
+    ckpt_every: int = 5
+    pretrain_vae_epochs: int = 5   # phase "vae" epochs
+    warmup_epochs: int = 10        # phase "warmup" epochs
+    logdir: str = "runs"
+    T: int = 20
+    add_imputation_plots: bool = False
+
+    # --- TPU-native knobs ---
+    num_devices: Optional[int] = None   # data-parallel width (None = all local)
+    donate_state: bool = True           # donate train-state buffers to the jitted step
+    resume_from: Optional[str] = None   # orbax checkpoint dir to resume from
+    profile_steps: int = 0              # if >0, capture a jax.profiler trace of N steps
+
+
+@dataclass
+class DatasetConfig:
+    type: str = "bouncing_ball"  # "bouncing_ball" | "pymunk" (npz) | "toy"
+    path: Optional[str] = None   # npz path for type="pymunk"
+    val_split: float = 0.2
+    # generator / loader kwargs (seq_len, normalize, num_sequences, num_balls, ...)
+    kwargs: Dict[str, Any] = field(default_factory=dict)
+
+
+def _filter_fields(cls, d: Dict[str, Any]) -> Dict[str, Any]:
+    """Accept-and-ignore unknown keys, like the reference YAML contract
+    (reference kvae/train/config.yaml:49)."""
+    names = {f.name for f in dataclasses.fields(cls)}
+    return {k: v for k, v in d.items() if k in names}
+
+
+def load_config(path: str | Path) -> Dict[str, Any]:
+    """Parse a reference-layout YAML into typed config sections."""
+    with open(path) as f:
+        raw = yaml.safe_load(f) or {}
+    return parse_config_dict(raw)
+
+
+def parse_config_dict(raw: Dict[str, Any]) -> Dict[str, Any]:
+    kvae = KVAEConfig(**_filter_fields(KVAEConfig, raw.get("kvae", {}) or {}))
+    training = TrainingConfig(**_filter_fields(TrainingConfig, raw.get("training", {}) or {}))
+    ds_raw = dict(raw.get("dataset", {}) or {})
+    dataset = DatasetConfig(**_filter_fields(DatasetConfig, ds_raw))
+    return {
+        "kvae": kvae,
+        "training": training,
+        "dataset": dataset,
+        "transforms": raw.get("transforms", {}) or {},
+        "raw": raw,
+    }
+
+
+def config_to_dict(cfg) -> Dict[str, Any]:
+    return dataclasses.asdict(cfg)

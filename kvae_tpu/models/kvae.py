@@ -1,0 +1,299 @@
+"""KVAE: the composed Kalman Variational Auto-Encoder.
+
+Composition parity with reference kvae/model/model.py:11-301:
+  encoder -> reparameterize -> (dynamics net + Kalman smoother) -> decoder,
+  losses = vae_weight * vae_elbo + kf_weight * kf_elbo (negated), and the
+  masked-frame imputation path a_hat = C_t z_t decoded from smoothed/filtered
+  states (model.py:243-301).
+
+TPU-native differences (by design, not omission):
+  - One flax module; `__call__`/`loss`/`impute` are pure and jit the whole
+    stack (encode, regime chain, filter+smoother scans, decode, ELBOs) into a
+    single XLA program — no per-batch host syncs (the reference syncs on
+    `.item()` every batch, model.py:239-240).
+  - RNG is explicit: streams 'sample' (encoder reparameterization + KF ELBO
+    rsample) and 'gumbel' (regime chain).
+  - beta / tau arrive as traced scalars from schedule state, so annealing
+    never recompiles.
+  - `generate` restores the rollout capability the reference lost
+    (see ops/lgssm.py::lgssm_generate).
+"""
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from kvae_tpu.config import KVAEConfig
+from kvae_tpu.models.dynamics import LSTMAlphaDynamics, SwitchingDynamics
+from kvae_tpu.models.losses import count_active_units, vae_loss
+from kvae_tpu.models.vae import Decoder, Encoder, reparameterize
+from kvae_tpu.ops.lgssm import (
+    LGSSMParams,
+    lgssm_elbo,
+    lgssm_generate,
+    lgssm_smooth,
+)
+
+
+class KVAE(nn.Module):
+    config: KVAEConfig
+
+    def setup(self):
+        cfg = self.config
+        self.encoder = Encoder(cfg)
+        self.decoder = Decoder(cfg)
+        kind = cfg.dynamics_model.lower()
+        if kind == "switching":
+            self.dynamics = SwitchingDynamics(
+                K=cfg.num_modes, n=cfg.z_dim, m=cfg.u_dim, p=cfg.a_dim,
+                hidden=cfg.dynamics_hidden_dim, init_std=cfg.init_kf_matrices,
+                p_stay=cfg.sticky_p_stay, noise_transition=cfg.noise_transition,
+            )
+        elif kind == "lstm":
+            self.dynamics = LSTMAlphaDynamics(
+                K=cfg.num_modes, n=cfg.z_dim, m=cfg.u_dim, p=cfg.a_dim,
+                hidden=cfg.dynamics_hidden_dim, init_std=cfg.init_kf_matrices,
+            )
+        else:
+            raise ValueError(f"Unknown dynamics model: {cfg.dynamics_model}")
+
+    # Fixed (non-learned) LGSSM parameters — the reference registers these as
+    # buffers (kalman_filter.py:22-28, model.py:71-76). Config noise values
+    # are VARIANCES.
+    @property
+    def lgssm_params(self) -> LGSSMParams:
+        cfg = self.config
+        n, p = cfg.z_dim, cfg.a_dim
+        return LGSSMParams(
+            mu0=jnp.zeros((n,), jnp.float32),
+            sigma0=jnp.eye(n, dtype=jnp.float32) * cfg.init_cov,
+            R=jnp.eye(p, dtype=jnp.float32) * cfg.noise_emission,
+            Q=jnp.eye(n, dtype=jnp.float32) * cfg.noise_transition,
+        )
+
+    # ------------------------------------------------------------------
+    # encode / decode over sequences (reference model.py:87-131)
+    # ------------------------------------------------------------------
+
+    def encode_sequence(self, x: jax.Array):
+        b, t = x.shape[:2]
+        x_flat = x.reshape((-1,) + x.shape[2:])
+        mu, var = self.encoder(jnp.transpose(x_flat, (0, 2, 3, 1)))
+        a = reparameterize(self.make_rng("sample"), mu, var)
+        unflat = lambda z: z.reshape(b, t, -1)
+        return unflat(a), unflat(mu), unflat(var)
+
+    def decode_sequence(self, a: jax.Array) -> jax.Array:
+        b, t = a.shape[:2]
+        out = self.decoder(a.reshape(-1, a.shape[-1]))
+        out = jnp.transpose(out, (0, 3, 1, 2))  # NHWC -> NCHW
+        return out.reshape((b, t) + out.shape[1:])
+
+    def _maybe_sigmoid(self, logits: jax.Array) -> jax.Array:
+        if self.config.out_distr.lower() == "bernoulli":
+            return jax.nn.sigmoid(logits)
+        return logits
+
+    # ------------------------------------------------------------------
+    # forward (reference model.py:134-186)
+    # ------------------------------------------------------------------
+
+    def __call__(
+        self,
+        x: jax.Array,                    # [B,T,C,H,W]
+        u: Optional[jax.Array] = None,   # [B,T,u_dim]
+        mask: Optional[jax.Array] = None,  # [B,T]
+        tau: jax.Array | float = 1.0,
+        train: bool = True,
+    ) -> Dict[str, jax.Array]:
+        cfg = self.config
+        b, t = x.shape[:2]
+        a, a_mu, a_var = self.encode_sequence(x)
+        if u is None:
+            u = jnp.zeros((b, t, cfg.u_dim), dtype=x.dtype)
+        if mask is None:
+            mask = jnp.ones((b, t), dtype=x.dtype)
+
+        params = self.lgssm_params
+        if cfg.dynamics_model.lower() == "switching":
+            rng = self.make_rng("gumbel") if cfg.num_modes > 1 else None
+            dyn_seq, log_q, log_p, state_probs = self.dynamics(
+                a, tau=jnp.asarray(tau, jnp.float32), hard=not train, rng=rng
+            )
+            sr = lgssm_smooth(a, u, mask, params, dynamics=dyn_seq)
+        else:
+            log_q = log_p = jnp.zeros((b, t), dtype=x.dtype)
+            carry0 = self.dynamics.init_carry(b)
+            q_fixed = params.Q
+
+            def step(carry, y_prev):
+                return self.dynamics.step(carry, y_prev, q_fixed)
+
+            sr = lgssm_smooth(
+                a, u, mask, params,
+                step_dynamics=step, step_dynamics_carry=carry0,
+            )
+            state_probs = sr.filter_result.aux  # alpha weights [B,T,K]
+
+        x_logits = self.decode_sequence(a)
+        fr = sr.filter_result
+        return {
+            "x_recon": self._maybe_sigmoid(x_logits),
+            "x_logits": x_logits,
+            "a_samples": a,
+            "a_mu": a_mu,
+            "a_var": a_var,
+            "mus_smooth": sr.mu_smooth,
+            "Sigmas_smooth": sr.sigma_smooth,
+            "mus_filt": fr.mu_filt,
+            "Sigmas_filt": fr.sigma_filt,
+            "mus_pred": fr.mu_pred,
+            "Sigmas_pred": fr.sigma_pred,
+            "A": fr.A, "B": fr.B, "C": fr.C, "Q": fr.Q,
+            "u": u,
+            "state_probs": state_probs,
+            "log_q_regime": log_q,
+            "log_p_regime": log_p,
+        }
+
+    # ------------------------------------------------------------------
+    # loss (reference model.py:189-241)
+    # ------------------------------------------------------------------
+
+    def loss(
+        self,
+        x: jax.Array,
+        outputs: Dict[str, jax.Array],
+        kf_weight: jax.Array | float = 1.0,
+        vae_weight: jax.Array | float = 1.0,
+        beta: jax.Array | float = 1.0,
+        mask: Optional[jax.Array] = None,
+    ) -> Dict[str, jax.Array]:
+        cfg = self.config
+        from kvae_tpu.ops.lgssm import FilterResult, SmoothResult
+
+        vae_elbo, recon, regularization = vae_loss(
+            x, outputs["x_logits"], jnp.asarray(cfg.noise_pixel_var, x.dtype),
+            outputs["a_samples"], outputs["a_mu"], outputs["a_var"],
+            scale_reconstruction=cfg.scale_reconstruction,
+            beta=beta, mask=mask, out_distr=cfg.out_distr,
+        )
+
+        fr = FilterResult(
+            mu_filt=outputs["mus_filt"], sigma_filt=outputs["Sigmas_filt"],
+            mu_pred=outputs["mus_pred"], sigma_pred=outputs["Sigmas_pred"],
+            A=outputs["A"], B=outputs["B"], C=outputs["C"], Q=outputs["Q"],
+            aux=None,
+        )
+        sr = SmoothResult(
+            mu_smooth=outputs["mus_smooth"], sigma_smooth=outputs["Sigmas_smooth"],
+            filter_result=fr,
+        )
+        elbo_kf = lgssm_elbo(
+            self.make_rng("sample"), sr,
+            outputs["a_samples"], outputs["u"], self.lgssm_params, mask=mask,
+            log_q_extra=outputs["log_q_regime"],
+            log_p_extra=outputs["log_p_regime"],
+        )
+
+        elbo_total = vae_weight * vae_elbo + kf_weight * elbo_kf
+        active_units, variances = count_active_units(outputs["a_mu"])
+        return {
+            "loss": -elbo_total,
+            "elbo_total": elbo_total,
+            "elbo_kf": elbo_kf,
+            "elbo_vae_total": vae_elbo,
+            "recon": recon,
+            "kl": regularization,
+            "active_units": active_units,
+            "latent_variances": variances,
+        }
+
+    def forward_and_loss(
+        self,
+        x: jax.Array,
+        u: Optional[jax.Array] = None,
+        mask: Optional[jax.Array] = None,
+        tau: jax.Array | float = 1.0,
+        beta: jax.Array | float = 1.0,
+        kf_weight: jax.Array | float = 1.0,
+        vae_weight: jax.Array | float = 1.0,
+        train: bool = True,
+    ):
+        outputs = self(x, u=u, mask=mask, tau=tau, train=train)
+        losses = self.loss(
+            x, outputs, kf_weight=kf_weight, vae_weight=vae_weight,
+            beta=beta, mask=mask,
+        )
+        return losses, outputs
+
+    # ------------------------------------------------------------------
+    # imputation (reference model.py:243-301)
+    # ------------------------------------------------------------------
+
+    def impute(
+        self,
+        x: jax.Array,
+        mask: jax.Array,
+        u: Optional[jax.Array] = None,
+        tau: jax.Array | float = 1.0,
+    ) -> Dict[str, jax.Array]:
+        """Masked-frame imputation. The encoder still sees all pixels; the
+        mask gates only the Kalman update and loss terms (reference
+        semantics, SURVEY.md §3.2). Eval mode: hard gumbel."""
+        outputs = self(x, u=u, mask=mask, tau=tau, train=False)
+        a_vae = outputs["a_samples"]
+        C_seq = outputs["C"]
+
+        x_recon = self._maybe_sigmoid(self.decode_sequence(a_vae))
+        a_imputed = jnp.einsum("btpn,btn->btp", C_seq, outputs["mus_smooth"])
+        x_imputed = self._maybe_sigmoid(self.decode_sequence(a_imputed))
+        a_filtered = jnp.einsum("btpn,btn->btp", C_seq, outputs["mus_filt"])
+        x_filtered = self._maybe_sigmoid(self.decode_sequence(a_filtered))
+        return {
+            "x_recon": x_recon,
+            "x_imputed": x_imputed,
+            "x_filtered": x_filtered,
+            "a_vae": a_vae,
+            "a_imputed": a_imputed,
+            "a_filtered": a_filtered,
+            "state_probs": outputs["state_probs"],
+        }
+
+    # ------------------------------------------------------------------
+    # generation (restored capability; reference test_optim.py:211-216)
+    # ------------------------------------------------------------------
+
+    def generate(
+        self,
+        x_warmup: jax.Array,              # [B,Tw,C,H,W] observed warmup frames
+        gen_steps: int,
+        u_gen: Optional[jax.Array] = None,  # [B,gen_steps,u_dim]
+        tau: jax.Array | float = 1.0,
+        deterministic: bool = True,
+    ) -> Dict[str, jax.Array]:
+        """Warm up the filter posterior on observed frames, then free-run the
+        LDS for `gen_steps`, decoding a_t = C z_t to frames.
+
+        The rolled dynamics hold the last warmup step's (A,B,C,Q) — without
+        new observations the alpha/regime networks have no input to update on.
+        """
+        cfg = self.config
+        b = x_warmup.shape[0]
+        outputs = self(x_warmup, mask=None, tau=tau, train=False)
+        mu_last = outputs["mus_filt"][:, -1]
+        sigma_last = outputs["Sigmas_filt"][:, -1]
+        tile = lambda m: jnp.repeat(m[:, -1:], gen_steps, axis=1)
+        A, Bm, C, Q = (tile(outputs[k]) for k in ("A", "B", "C", "Q"))
+        if u_gen is None:
+            u_gen = jnp.zeros((b, gen_steps, cfg.u_dim), dtype=x_warmup.dtype)
+        z_seq, a_seq = lgssm_generate(
+            self.make_rng("sample"), mu_last, sigma_last,
+            A, Bm, C, Q, u_gen,
+            R=self.lgssm_params.R, deterministic=deterministic,
+        )
+        x_gen = self._maybe_sigmoid(self.decode_sequence(a_seq))
+        return {"z_gen": z_seq, "a_gen": a_seq, "x_gen": x_gen}

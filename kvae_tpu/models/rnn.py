@@ -1,0 +1,91 @@
+"""Minimal recurrent cells as pure param-pytree functions.
+
+The filter's LSTM-alpha network must step *inside* the Kalman `lax.scan`
+(its input is the filter's own masked prediction feedback — reference
+kvae/kalman/kalman_filter.py:159,183-185), so the cells are written as pure
+functions over explicit parameter pytrees rather than stateful modules:
+params are materialized once in the owning flax module's `setup` and the
+step math closes over concrete arrays, which is `lax.scan`-safe.
+
+Gate conventions follow torch.nn.LSTM / torch.nn.GRU (reference
+kvae/kalman/dyn_param.py:23-28, switch_dyn_param.py:118) so behavior is
+comparable; initializers are the flax defaults.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def lstm_params(module: nn.Module, name: str, in_dim: int, hidden: int):
+    """Create fused LSTM gate parameters on `module` (call from setup)."""
+    wi = module.param(f"{name}_wi", nn.initializers.lecun_normal(), (in_dim, 4 * hidden))
+    wh = module.param(f"{name}_wh", nn.initializers.orthogonal(), (hidden, 4 * hidden))
+    b = module.param(f"{name}_b", nn.initializers.zeros, (4 * hidden,))
+    return {"wi": wi, "wh": wh, "b": b}
+
+
+def lstm_step(p, carry, x):
+    """One LSTM step. carry = (h, c), x: [B, in_dim]. Single fused matmul per
+    operand; gate order (i, f, g, o)."""
+    h, c = carry
+    gates = x @ p["wi"] + h @ p["wh"] + p["b"]
+    i, f, g, o = jnp.split(gates, 4, axis=-1)
+    c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+    h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+    return (h_new, c_new), h_new
+
+
+def lstm_init_carry(batch: int, hidden: int, dtype=jnp.float32):
+    z = jnp.zeros((batch, hidden), dtype=dtype)
+    return (z, z)
+
+
+def gru_params(module: nn.Module, name: str, in_dim: int, hidden: int):
+    """Create fused GRU gate parameters on `module` (call from setup).
+    Torch convention: separate input/hidden biases because the candidate gate
+    applies r *inside* the hidden contribution."""
+    wi = module.param(f"{name}_wi", nn.initializers.lecun_normal(), (in_dim, 3 * hidden))
+    wh = module.param(f"{name}_wh", nn.initializers.orthogonal(), (hidden, 3 * hidden))
+    bi = module.param(f"{name}_bi", nn.initializers.zeros, (3 * hidden,))
+    bh = module.param(f"{name}_bh", nn.initializers.zeros, (3 * hidden,))
+    return {"wi": wi, "wh": wh, "bi": bi, "bh": bh}
+
+
+def gru_step(p, h, x):
+    """One GRU step (torch gate order r, z, n)."""
+    gi = x @ p["wi"] + p["bi"]
+    gh = h @ p["wh"] + p["bh"]
+    i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+    h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+    r = jax.nn.sigmoid(i_r + h_r)
+    z = jax.nn.sigmoid(i_z + h_z)
+    n = jnp.tanh(i_n + r * h_n)
+    h_new = (1.0 - z) * n + z * h
+    return h_new, h_new
+
+
+def gru_scan(p, x_seq: jax.Array, reverse: bool = False) -> jax.Array:
+    """Run a GRU over a whole [B,T,in] sequence; returns hidden states [B,T,H]."""
+    batch = x_seq.shape[0]
+    hidden = p["wh"].shape[0]
+    h0 = jnp.zeros((batch, hidden), dtype=x_seq.dtype)
+    xs = jnp.swapaxes(x_seq, 0, 1)
+
+    def body(h, x):
+        return gru_step(p, h, x)
+
+    _, hs = jax.lax.scan(body, h0, xs, reverse=reverse)
+    return jnp.swapaxes(hs, 0, 1)
+
+
+def bigru_scan(p_fwd, p_bwd, x_seq: jax.Array) -> jax.Array:
+    """Bidirectional GRU over [B,T,in] -> [B,T,2H] (torch bidirectional=True
+    semantics: backward pass consumes the reversed sequence; outputs are
+    concatenated per time step)."""
+    h_f = gru_scan(p_fwd, x_seq, reverse=False)
+    h_b = gru_scan(p_bwd, x_seq, reverse=True)
+    return jnp.concatenate([h_f, h_b], axis=-1)

@@ -1,0 +1,106 @@
+"""Gaussian primitives: log-densities, branchless safe Cholesky, MVN sampling.
+
+Reference parity:
+  - log_gaussian            <- reference kvae/vae/losses.py:6-18
+  - safe_cholesky           <- reference kvae/kalman/kalman_filter.py:282-302
+    The reference retries torch.linalg.cholesky in a Python try/except with
+    jitter escalating x10 (1e-6..1e-2, 5 tries) and a clamped-diagonal
+    fallback. Data-dependent Python control flow cannot live under jit, so we
+    compute the Cholesky at every jitter level in one batched shot (the
+    matrices are tiny, n<=8) and select, per matrix, the first finite result —
+    strictly tighter than the reference, which escalates the whole batch when
+    any single matrix fails.
+  - MVN log-prob matches torch.distributions.MultivariateNormal semantics
+    (used at kalman_filter.py:349,367,373,380) via the scale_tril form.
+
+Everything is float32: the LGSSM matrices are n<=8 wide, so MXU precision
+tricks buy nothing here and covariance PSD-ness is the binding constraint.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+
+_LOG_2PI = math.log(2.0 * math.pi)
+
+
+def symmetrize(mat: jax.Array) -> jax.Array:
+    """0.5 * (M + M^T) over the trailing two dims."""
+    return 0.5 * (mat + jnp.swapaxes(mat, -1, -2))
+
+
+def log_gaussian(x: jax.Array, mean: jax.Array, var: jax.Array) -> jax.Array:
+    """Elementwise diagonal-Gaussian log-density log N(x; mean, var)."""
+    return -0.5 * _LOG_2PI - 0.5 * jnp.log(var) - jnp.square(x - mean) / (2.0 * var)
+
+
+def safe_cholesky(
+    sigma: jax.Array,
+    jitter_init: float = 1e-6,
+    max_tries: int = 5,
+    diag_clamp: float = 1e-6,
+) -> jax.Array:
+    """Branchless jitter-escalating Cholesky.
+
+    Computes chol(sigma + jitter*I) for jitter in {j0, 10*j0, ..., 10^(k-1)*j0}
+    in one batched call and picks, per matrix, the smallest jitter whose factor
+    is finite. Falls back to sqrt(clamp(diag)) if all fail.
+
+    Args:
+        sigma: [..., n, n] symmetric-ish PSD candidates.
+    Returns:
+        [..., n, n] lower-triangular factors.
+    """
+    sigma = symmetrize(sigma)
+    n = sigma.shape[-1]
+    eye = jnp.eye(n, dtype=sigma.dtype)
+    jitters = jitter_init * (10.0 ** jnp.arange(max_tries, dtype=sigma.dtype))
+    # [k, ..., n, n]
+    candidates = sigma[None] + jitters.reshape((max_tries,) + (1,) * sigma.ndim) * eye
+    factors = jnp.linalg.cholesky(candidates)
+    ok = jnp.all(jnp.isfinite(factors), axis=(-1, -2))  # [k, ...]
+    # index of first finite factor; max_tries if none
+    first_ok = jnp.argmax(ok, axis=0)
+    any_ok = jnp.any(ok, axis=0)
+    picked = jnp.take_along_axis(
+        factors, first_ok[None, ..., None, None], axis=0
+    )[0]
+    # Fallback: clamped-diagonal sqrt (reference kalman_filter.py:298-302)
+    diag = jnp.diagonal(sigma, axis1=-2, axis2=-1)
+    fallback = jnp.zeros_like(sigma) + jnp.sqrt(jnp.clip(diag, min=diag_clamp))[..., None] * eye
+    return jnp.where(any_ok[..., None, None], picked, fallback)
+
+
+def mvn_logpdf_chol(x: jax.Array, mean: jax.Array, scale_tril: jax.Array) -> jax.Array:
+    """log N(x; mean, L L^T) with L lower-triangular.
+
+    Args:
+        x, mean: [..., n]
+        scale_tril: [..., n, n]
+    Returns:
+        [...] log-densities.
+    """
+    n = x.shape[-1]
+    diff = (x - mean)[..., None]
+    # triangular_solve requires identical batch dims (no broadcasting)
+    batch_shape = jnp.broadcast_shapes(diff.shape[:-2], scale_tril.shape[:-2])
+    diff = jnp.broadcast_to(diff, batch_shape + diff.shape[-2:])
+    scale_tril = jnp.broadcast_to(scale_tril, batch_shape + scale_tril.shape[-2:])
+    sol = jax.scipy.linalg.solve_triangular(scale_tril, diff, lower=True)[..., 0]
+    maha = jnp.sum(jnp.square(sol), axis=-1)
+    logdet = jnp.sum(jnp.log(jnp.diagonal(scale_tril, axis1=-2, axis2=-1)), axis=-1)
+    return -0.5 * (n * _LOG_2PI + maha) - logdet
+
+
+def mvn_logpdf(x: jax.Array, mean: jax.Array, cov: jax.Array) -> jax.Array:
+    """log N(x; mean, cov) via (safe) Cholesky of cov."""
+    return mvn_logpdf_chol(x, mean, safe_cholesky(cov))
+
+
+def mvn_sample_chol(key: jax.Array, mean: jax.Array, scale_tril: jax.Array) -> jax.Array:
+    """Reparameterized sample mean + L @ eps (torch .rsample() equivalent,
+    reference kalman_filter.py:351)."""
+    eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
+    return mean + jnp.einsum("...ij,...j->...i", scale_tril, eps)
