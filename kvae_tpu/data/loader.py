@@ -1,0 +1,130 @@
+"""Batching / splitting / host->device feeding.
+
+Replaces the reference's torch DataLoader stack (reference
+kvae/train/utils.py:79-119: PymunkNPZDataset -> random_split -> 2x DataLoader
+with worker processes). TPU-natively there is no need for worker processes:
+the dataset lives in host RAM as one ndarray, batch gather is a vectorized
+numpy take, and batches are streamed to the device asynchronously
+(`jax.device_put` is non-blocking) with a 2-deep prefetch so host prep
+overlaps device compute.
+
+Batches have STATIC shapes (remainders dropped — documented deviation from
+the reference, which emits a final partial batch; partial batches would
+force an extra XLA compilation for one step per epoch).
+"""
+from __future__ import annotations
+
+import itertools
+from typing import Dict, Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+from kvae_tpu.config import DatasetConfig
+from kvae_tpu.data.bouncing_ball import generate_bouncing_ball
+from kvae_tpu.data.npz_dataset import NPZVideoDataset
+
+
+class DataLoader:
+    """Epoch iterator over an NPZVideoDataset subset."""
+
+    def __init__(
+        self,
+        dataset: NPZVideoDataset,
+        indices: np.ndarray,
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 0,
+        sharding: Optional[jax.sharding.Sharding] = None,
+        prefetch: int = 2,
+    ):
+        self.dataset = dataset
+        self.indices = np.asarray(indices)
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        self.sharding = sharding
+        self.prefetch = prefetch
+
+    def __len__(self) -> int:
+        return len(self.indices) // self.batch_size
+
+    def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self.indices
+        if self.shuffle:
+            order = self.rng.permutation(order)
+        n_batches = len(order) // self.batch_size
+        for i in range(n_batches):
+            idx = order[i * self.batch_size : (i + 1) * self.batch_size]
+            yield self.dataset.materialize(idx)
+
+    def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        """Async-prefetched device batches."""
+        put = (
+            (lambda b: jax.device_put(b, self.sharding))
+            if self.sharding is not None
+            else jax.device_put
+        )
+        queue = []
+        it = self._batches()
+        for batch in it:
+            queue.append(jax.tree.map(put, batch))
+            if len(queue) >= self.prefetch:
+                yield queue.pop(0)
+        yield from queue
+
+
+def split_indices(
+    n: int, val_split: float, seed: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic shuffled train/val split (reference utils.py:99-101)."""
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n)
+    n_val = max(1, int(val_split * n))
+    return perm[n_val:], perm[:n_val]
+
+
+def build_dataset(cfg: DatasetConfig) -> NPZVideoDataset:
+    kwargs = dict(cfg.kwargs or {})
+    kind = cfg.type.lower()
+    if kind in ("pymunk", "npz"):
+        kwargs.pop("load_in_memory", None)  # accepted-and-ignored legacy key
+        return NPZVideoDataset.from_npz(cfg.path, **kwargs)
+    if kind == "bouncing_ball":
+        gen_keys = {
+            "num_sequences", "seq_len", "img_size", "radius", "speed",
+            "num_balls", "seed",
+        }
+        gen_kwargs = {k: v for k, v in kwargs.items() if k in gen_keys}
+        data = generate_bouncing_ball(**gen_kwargs)
+        return NPZVideoDataset(
+            arrays=data, seq_len=gen_kwargs.get("seq_len", 20), normalize=False
+        )
+    if kind == "toy":
+        rng = np.random.default_rng(kwargs.get("seed", 0))
+        n = kwargs.get("num_sequences", 64)
+        t = kwargs.get("seq_len", 20)
+        s = kwargs.get("img_size", 32)
+        data = {
+            "images": rng.uniform(size=(n, t, s, s)).astype(np.float32),
+            "state": rng.normal(size=(n, t, 4)).astype(np.float32),
+        }
+        return NPZVideoDataset(arrays=data, seq_len=t)
+    raise NotImplementedError(f"Unsupported dataset type: {cfg.type}")
+
+
+def build_dataloaders(
+    cfg: DatasetConfig,
+    batch_size: int,
+    seed: int = 0,
+    sharding: Optional[jax.sharding.Sharding] = None,
+) -> Tuple[DataLoader, DataLoader]:
+    dataset = build_dataset(cfg)
+    train_idx, val_idx = split_indices(len(dataset), cfg.val_split, seed)
+    train = DataLoader(
+        dataset, train_idx, batch_size, shuffle=True, seed=seed, sharding=sharding
+    )
+    val = DataLoader(
+        dataset, val_idx, batch_size, shuffle=False, seed=seed, sharding=sharding
+    )
+    return train, val

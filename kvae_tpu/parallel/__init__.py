@@ -1,0 +1,1 @@
+from kvae_tpu.parallel.mesh import batch_sharding, make_mesh, replicate  # noqa: F401

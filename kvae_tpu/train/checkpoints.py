@@ -1,0 +1,61 @@
+"""Orbax checkpointing with best-val tracking and restore-and-continue.
+
+Beyond-parity by design (SURVEY.md §5): the reference Checkpointer
+(kvae/train/utils.py:165-209) saves `kvae-best.pt` + periodic epoch
+checkpoints but has NO resume path in its trainer. Here the full TrainState
+(params, optimizer moments, RNG key, epoch/step/schedule position, best-val)
+round-trips through orbax, enabling preemption-safe resume — standard TPU
+practice.
+"""
+from __future__ import annotations
+
+import logging
+from pathlib import Path
+from typing import Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+from kvae_tpu.train.state import TrainState
+
+logger = logging.getLogger("kvae_tpu")
+
+
+class Checkpointer:
+    def __init__(self, checkpoint_dir: Path, ckpt_every: int = 5):
+        self.dir = Path(checkpoint_dir).resolve()
+        self.dir.mkdir(parents=True, exist_ok=True)
+        self.ckpt_every = ckpt_every
+        self.best_val = float("inf")
+        self._ckptr = ocp.StandardCheckpointer()
+
+    def save_checkpoints(self, train_loss: float, val_loss: float, state: TrainState, epoch: int):
+        """Best-on-val + periodic (reference utils.py:187-203 semantics)."""
+        if val_loss < self.best_val:
+            self.best_val = val_loss
+            self._save(self.dir / "kvae-best", state)
+        if self.ckpt_every > 0 and epoch % self.ckpt_every == 0:
+            self._save(self.dir / f"kvae-ckpt-epoch_{epoch:03d}", state)
+
+    def save_latest(self, state: TrainState):
+        """Preemption-safe rolling checkpoint."""
+        self._save(self.dir / "kvae-latest", state)
+
+    def _save(self, path: Path, state: TrainState):
+        self._ckptr.save(path, state, force=True)
+        self._ckptr.wait_until_finished()
+        logger.info(f"Saved checkpoint to {path}")
+
+    def restore(self, name: str, target: TrainState) -> TrainState:
+        """Restore by checkpoint name ('kvae-best', 'kvae-latest', ...) using
+        `target`'s structure/shardings as the abstract template."""
+        path = self.dir / name
+        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+        return self._ckptr.restore(path, abstract)
+
+
+def restore_train_state(checkpoint_path: str | Path, target: TrainState) -> TrainState:
+    """Restore a TrainState from an explicit orbax checkpoint directory."""
+    ckptr = ocp.StandardCheckpointer()
+    abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
+    return ckptr.restore(Path(checkpoint_path).resolve(), abstract)

@@ -1,0 +1,220 @@
+"""Training loop + CLI entry point.
+
+Parity with reference kvae/train/train.py:210-363 (`main`): config -> runs
+dir + logging + TB -> checkpointer -> seeded state -> dataloaders -> epoch
+loop with 3-phase schedule, per-epoch beta/tau/LR schedules, periodic
+kalman_prediction_test + impute_epoch + media logging, best-val + periodic
+checkpoints.
+
+TPU-native differences:
+  - the whole train step is ONE jitted XLA program (at most 3 variants, one
+    per phase); schedules are epoch-derived inside the step
+  - epoch metrics accumulate as lazy device scalars (one sync per epoch)
+  - optional data-parallel mesh: batches are sharded over the 'data' axis and
+    XLA emits the gradient all-reduce (see parallel/mesh.py)
+  - optional jax.profiler trace capture (tcfg.profile_steps)
+  - restore-and-continue via --resume
+
+Usage:
+    python -m kvae_tpu.train.loop --config configs/kvae_ball.yaml
+"""
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import yaml
+
+from kvae_tpu.config import load_config
+from kvae_tpu.data.loader import build_dataloaders
+from kvae_tpu.parallel.mesh import batch_sharding, make_mesh_for_batch
+from kvae_tpu.train import checkpoints as ckpt_lib
+from kvae_tpu.train import phases as phases_lib
+from kvae_tpu.train.imputation import impute_epoch, make_impute_step
+from kvae_tpu.train.metrics import (
+    MeanAccumulator,
+    MetricsWriter,
+    create_runs_dir,
+    setup_logging,
+)
+from kvae_tpu.train.state import create_train_state, make_eval_step, make_train_step
+from kvae_tpu.train.testing import kalman_prediction_test, make_prediction_test_step
+
+
+def train(config: dict, runs_dir: Path | None = None) -> dict:
+    """Run a full training; returns {'best_val': ..., 'runs_dir': ...}."""
+    cfg, tcfg, dcfg = config["kvae"], config["training"], config["dataset"]
+
+    runs_dir = Path(runs_dir) if runs_dir else create_runs_dir(tcfg.logdir)
+    runs_dir.mkdir(parents=True, exist_ok=True)
+    logger = setup_logging(str(runs_dir / "train.log"))
+    writer = MetricsWriter(runs_dir)
+    with open(runs_dir / "config.yaml", "w") as f:
+        yaml.safe_dump(config.get("raw", {}), f)
+    ckpt = ckpt_lib.Checkpointer(runs_dir / "checkpoints", tcfg.ckpt_every)
+
+    mesh = make_mesh_for_batch(tcfg.batch_size, tcfg.num_devices)
+    data_sharding = batch_sharding(mesh)
+    logger.info(f"devices: {jax.devices()} mesh: {mesh}")
+
+    train_loader, val_loader = build_dataloaders(
+        dcfg, tcfg.batch_size, seed=tcfg.seed, sharding=data_sharding
+    )
+    logger.info(
+        f"dataset: {len(train_loader.dataset)} sequences -> "
+        f"{len(train_loader)} train + {len(val_loader)} val batches @ bs={tcfg.batch_size}"
+    )
+
+    sample_batch = next(iter(train_loader))["images"]
+    model, state, tx = create_train_state(cfg, tcfg, sample_batch)
+    if tcfg.resume_from:
+        state = ckpt_lib.restore_train_state(tcfg.resume_from, state)
+        logger.info(f"resumed from {tcfg.resume_from} at epoch {int(state.epoch)}")
+
+    train_step = make_train_step(model, cfg, tcfg, tx)
+    eval_step = make_eval_step(model, cfg, tcfg)
+    impute_step = make_impute_step(model, cfg)
+    pred_step = make_prediction_test_step(model)
+
+    eval_key = jax.random.PRNGKey(tcfg.seed + 1)
+    profiled = False
+
+    start_epoch = int(state.epoch)
+    for epoch in range(start_epoch, tcfg.max_epochs + 1):
+        phase = phases_lib.phase_for_epoch(
+            epoch, tcfg.pretrain_vae_epochs, tcfg.warmup_epochs
+        )
+        if epoch in (
+            1, tcfg.pretrain_vae_epochs + 1,
+            tcfg.pretrain_vae_epochs + tcfg.warmup_epochs + 1,
+        ):
+            logger.info(f"=== training phase '{phase}' from epoch {epoch} ===")
+
+        # ---- train epoch ----
+        acc = MeanAccumulator()
+        t0 = time.perf_counter()
+        n_steps = 0
+        for batch in train_loader:
+            if tcfg.profile_steps > 0 and not profiled and n_steps == 1:
+                jax.profiler.start_trace(str(runs_dir / "profile"))
+            state, metrics = train_step(state, batch["images"], phase)
+            acc.update(metrics)
+            n_steps += 1
+            if (
+                tcfg.profile_steps > 0 and not profiled
+                and n_steps == 1 + tcfg.profile_steps
+            ):
+                jax.tree.leaves(metrics)[0].block_until_ready()
+                jax.profiler.stop_trace()
+                profiled = True
+                logger.info(f"profiler trace written to {runs_dir / 'profile'}")
+        train_metrics = acc.result()  # single host sync
+        dt = time.perf_counter() - t0
+        steps_per_sec = n_steps / dt if dt > 0 else 0.0
+        train_metrics["steps_per_sec"] = steps_per_sec
+
+        # ---- eval epoch (fully observed) ----
+        acc = MeanAccumulator()
+        viz = None
+        last_batch = None
+        for batch in val_loader:
+            eval_key, k = jax.random.split(eval_key)
+            metrics, viz = eval_step(state, batch["images"], k)
+            acc.update(metrics)
+            last_batch = batch
+        val_metrics = acc.result()
+
+        writer.log_scalars(train_metrics, "train", epoch)
+        writer.log_scalars(val_metrics, "val", epoch)
+        if cfg.dynamics_model.lower() == "switching":
+            writer.log_scalar("train/tau", train_metrics.get("tau", 0.0), epoch)
+        if viz is not None and last_batch is not None:
+            writer.log_image(np.asarray(last_batch["images"][0]), "val/orig", epoch)
+            writer.log_image(np.asarray(viz["x_recon"][0]), "val/recon", epoch)
+            writer.log_video(np.asarray(last_batch["images"][0]), "val/seq_orig", epoch)
+            writer.log_video(np.asarray(viz["x_recon"][0]), "val/seq_recon", epoch)
+            writer.log_state_probs(viz["state_probs"], "val/state_probabilities", epoch)
+
+        impute_msg = ""
+        if tcfg.add_imputation_plots and epoch % 5 == 0:
+            eval_key, k1, k2 = jax.random.split(eval_key, 3)
+            kf_mse, naive_mse = kalman_prediction_test(pred_step, state, val_loader, k1)
+            writer.log_scalar("val/pred_mse_kf", kf_mse, epoch)
+            writer.log_scalar("val/pred_mse_naive", naive_mse, epoch)
+            imp = impute_epoch(
+                impute_step, state, val_loader, k2,
+                t_init_mask=cfg.t_init_mask, t_steps_mask=cfg.t_steps_mask,
+            )
+            if imp is not None:
+                writer.log_scalars(
+                    {k: v for k, v in imp.items() if k != "sample"},
+                    "val_imputation", epoch,
+                )
+                sample = imp["sample"]
+                for key_name, tag in (
+                    ("x_real", "seq_impute_real"), ("x_recon", "seq_impute_recon"),
+                    ("x_filtered", "seq_impute_filt"), ("x_imputed", "seq_impute_smooth"),
+                ):
+                    writer.log_image(
+                        np.asarray(sample[key_name][0]), f"val_inputation/{tag}", epoch
+                    )
+                    writer.log_video(
+                        np.asarray(sample[key_name][0]), f"val_inputation/{tag}.mp4", epoch
+                    )
+                writer.log_state_probs(
+                    sample["state_probs"], "val_inputation/seq_impute_states", epoch
+                )
+                impute_msg = (
+                    f"imputation MSE smooth {imp['mse_smooth']:.6e} "
+                    f"filt {imp['mse_filt']:.6e} recon {imp['mse_recon']:.6e} "
+                    f"| baseline {imp['baseline']:.6e} "
+                    f"| pred kf {kf_mse:.6e} vs naive {naive_mse:.6e}"
+                )
+
+        logger.info(
+            f"epoch {epoch:03d} [{phase}] "
+            f"train loss {train_metrics['loss']:.4f} "
+            f"(VAE {train_metrics['elbo_vae_total']:.4f} KF {train_metrics['elbo_kf']:.4f}) "
+            f"| val loss {val_metrics['loss']:.4f} "
+            f"(VAE {val_metrics['elbo_vae_total']:.4f} KF {val_metrics['elbo_kf']:.4f}) "
+            f"| {steps_per_sec:.2f} steps/s "
+            + (f"| {impute_msg}" if impute_msg else "")
+        )
+
+        state = state.replace(
+            best_val=jnp.minimum(state.best_val, val_metrics["loss"])
+        )
+        ckpt.save_checkpoints(train_metrics["loss"], val_metrics["loss"], state, epoch)
+        ckpt.save_latest(state.advance_epoch())
+        state = state.advance_epoch()
+
+    writer.close()
+    return {
+        "best_val": ckpt.best_val,
+        "runs_dir": str(runs_dir),
+        "steps_per_sec": train_metrics.get("steps_per_sec", 0.0),
+    }
+
+
+def main():
+    from kvae_tpu.utils.platform import apply_env_platform
+
+    apply_env_platform()
+    p = argparse.ArgumentParser(description="Train a TPU-native KVAE")
+    p.add_argument("--config", type=str, default="configs/kvae_ball.yaml")
+    p.add_argument("--resume", type=str, default=None,
+                   help="orbax checkpoint dir to resume from")
+    args = p.parse_args()
+    config = load_config(args.config)
+    if args.resume:
+        config["training"].resume_from = args.resume
+    result = train(config)
+    print(f"best val loss: {result['best_val']:.6f} ({result['runs_dir']})")
+
+
+if __name__ == "__main__":
+    main()

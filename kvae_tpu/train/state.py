@@ -1,0 +1,169 @@
+"""Functional train state + the single-XLA-program train/eval steps.
+
+Everything mutable in the reference trainer — model params, Adam moments,
+the global torch RNG, epoch counters, beta/tau/LR schedule positions —
+lives here as one explicit pytree. The train step (forward, regime chain,
+filter+smoother scans, both ELBOs, grad, clip, masked Adam update) compiles
+to ONE XLA program; schedules arrive as values derived from the epoch
+counter inside the step, so annealing never recompiles.
+
+Optimizer parity with the reference (kvae/train/train.py:236-242,268-269):
+Adam(lr) + global-norm grad clip 10.0 + exponential LR decay
+lr(e) = lr0 * decay_rate^floor((e-1)/decay_steps), weight_decay optional.
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from kvae_tpu.config import KVAEConfig, TrainingConfig
+from kvae_tpu.models.kvae import KVAE
+from kvae_tpu.models.losses import get_beta, get_tau
+from kvae_tpu.train import phases as phases_lib
+
+
+class TrainState(struct.PyTreeNode):
+    params: Any
+    opt_state: Any
+    key: jax.Array
+    epoch: jax.Array          # int32, 1-indexed (current epoch)
+    step: jax.Array           # int32, global step counter
+    best_val: jax.Array       # float32 best validation loss so far
+
+    def advance_epoch(self) -> "TrainState":
+        return self.replace(epoch=self.epoch + 1)
+
+
+def make_optimizer(tcfg: TrainingConfig) -> optax.GradientTransformation:
+    chain = [optax.clip_by_global_norm(tcfg.grad_clip_norm)]
+    chain.append(optax.scale_by_adam())
+    if tcfg.weight_decay > 0:
+        chain.append(optax.add_decayed_weights(tcfg.weight_decay))
+    # final scale by -lr happens in the step (lr is epoch-derived and traced)
+    return optax.chain(*chain)
+
+
+def lr_for_epoch(tcfg: TrainingConfig, epoch: jax.Array) -> jax.Array:
+    decays = jnp.floor(
+        (jnp.asarray(epoch, jnp.float32) - 1.0) / max(tcfg.decay_steps, 1)
+    )
+    return tcfg.lr * jnp.power(tcfg.decay_rate, jnp.clip(decays, min=0.0))
+
+
+def create_train_state(
+    cfg: KVAEConfig,
+    tcfg: TrainingConfig,
+    sample_batch: jax.Array,
+    seed: Optional[int] = None,
+) -> Tuple[KVAE, TrainState, optax.GradientTransformation]:
+    seed = tcfg.seed if seed is None else seed
+    model = KVAE(cfg)
+    root = jax.random.PRNGKey(seed)
+    k_params, k_sample, k_gumbel, k_state = jax.random.split(root, 4)
+    variables = model.init(
+        {"params": k_params, "sample": k_sample, "gumbel": k_gumbel},
+        sample_batch, tau=jnp.asarray(cfg.tau_init), train=True,
+    )
+    tx = make_optimizer(tcfg)
+    state = TrainState(
+        params=variables["params"],
+        opt_state=tx.init(variables["params"]),
+        key=k_state,
+        epoch=jnp.asarray(1, jnp.int32),
+        step=jnp.asarray(0, jnp.int32),
+        best_val=jnp.asarray(jnp.inf, jnp.float32),
+    )
+    return model, state, tx
+
+
+def _schedules(cfg: KVAEConfig, tcfg: TrainingConfig, epoch: jax.Array):
+    beta = get_beta(cfg, epoch)
+    tau_start = max(1, tcfg.pretrain_vae_epochs + tcfg.warmup_epochs + 1)
+    tau = get_tau(cfg, epoch, tau_start)
+    lr = lr_for_epoch(tcfg, epoch)
+    return beta, tau, lr
+
+
+def make_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
+    """Build the jitted train step. `phase` is static (<=3 compilations)."""
+
+    donate = (0,) if tcfg.donate_state else ()
+
+    @partial(jax.jit, static_argnames=("phase",), donate_argnums=donate)
+    def train_step(
+        state: TrainState, x: jax.Array, phase: str
+    ) -> Tuple[TrainState, Dict[str, jax.Array]]:
+        beta, tau, lr = _schedules(cfg, tcfg, state.epoch)
+        kf_weight = phases_lib.kf_weight_for_phase(phase)
+        key, k_sample, k_gumbel = jax.random.split(state.key, 3)
+
+        def loss_fn(params):
+            losses, _ = model.apply(
+                {"params": params}, x, tau=tau, beta=beta,
+                kf_weight=kf_weight, vae_weight=1.0, train=True,
+                rngs={"sample": k_sample, "gumbel": k_gumbel},
+                method=KVAE.forward_and_loss,
+            )
+            return losses["loss"], losses
+
+        grads, losses = jax.grad(loss_fn, has_aux=True)(state.params)
+        mask = phases_lib.param_mask(state.params, phase)
+        grads = phases_lib.apply_mask(grads, mask)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        updates = jax.tree.map(lambda u: -lr * u, updates)
+        updates = phases_lib.apply_mask(updates, mask)
+        params = optax.apply_updates(state.params, updates)
+
+        metrics = {
+            "loss": losses["loss"],
+            "elbo_kf": losses["elbo_kf"],
+            "elbo_vae_total": losses["elbo_vae_total"],
+            "active_units": losses["active_units"].astype(jnp.float32),
+            "grad_norm": optax.global_norm(grads),
+            "learning_rate": lr,
+            "beta": beta,
+            "tau": tau,
+        }
+        new_state = state.replace(
+            params=params, opt_state=opt_state, key=key, step=state.step + 1
+        )
+        return new_state, metrics
+
+    return train_step
+
+
+def make_eval_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig):
+    """Jitted full-observation evaluation step (reference train.py:79-139)."""
+
+    @jax.jit
+    def eval_step(state: TrainState, x: jax.Array, key: jax.Array):
+        beta, tau, _ = _schedules(cfg, tcfg, state.epoch)
+        k_sample, k_gumbel = jax.random.split(key)
+        losses, outputs = model.apply(
+            {"params": state.params}, x, tau=tau, beta=beta,
+            train=False,
+            rngs={"sample": k_sample, "gumbel": k_gumbel},
+            method=KVAE.forward_and_loss,
+        )
+        metrics = {
+            "loss": losses["loss"],
+            "elbo_kf": losses["elbo_kf"],
+            "elbo_vae_total": losses["elbo_vae_total"],
+            "active_units": losses["active_units"].astype(jnp.float32),
+            "latent_var_0": losses["latent_variances"][0],
+            "latent_var_1": losses["latent_variances"][
+                min(1, cfg.a_dim - 1)
+            ],  # guard a_dim==1 (reference hard-indexes [1], model.py:240)
+        }
+        viz = {
+            "x_recon": outputs["x_recon"],
+            "state_probs": outputs["state_probs"],
+        }
+        return metrics, viz
+
+    return eval_step
