@@ -14,10 +14,10 @@ force an extra XLA compilation for one step per epoch).
 """
 from __future__ import annotations
 
-import itertools
 from typing import Dict, Iterator, Optional, Tuple
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from kvae_tpu.config import DatasetConfig
@@ -74,6 +74,47 @@ class DataLoader:
         yield from queue
 
 
+class DeviceDataLoader:
+    """Device-resident dataset: upload all sequences to HBM once, gather each
+    batch ON DEVICE from a per-epoch permutation (one tiny index upload per
+    epoch). Removes the per-step host->device batch transfer, which dominates
+    when the link is slow (e.g. 68 ms per 2.6 MB batch through a tunneled
+    TPU vs <1 ms of step compute). Single-device placement; multi-device
+    data-parallel runs use the streaming DataLoader."""
+
+    def __init__(
+        self,
+        dataset: NPZVideoDataset,
+        indices: np.ndarray,
+        batch_size: int,
+        shuffle: bool,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = int(batch_size)
+        self.shuffle = shuffle
+        self.rng = np.random.default_rng(seed)
+        data = dataset.materialize(np.asarray(indices))
+        self.images = jax.device_put(data["images"])
+        self.state = jax.device_put(data["state"]) if "state" in data else None
+        self.n = len(indices)
+
+    def __len__(self) -> int:
+        return self.n // self.batch_size
+
+    def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
+        order = self.rng.permutation(self.n) if self.shuffle else np.arange(self.n)
+        order_dev = jax.device_put(order)  # one tiny upload per epoch
+        for i in range(len(self)):
+            idx = jax.lax.dynamic_slice_in_dim(
+                order_dev, i * self.batch_size, self.batch_size
+            )
+            batch = {"images": jnp.take(self.images, idx, axis=0)}
+            if self.state is not None:
+                batch["state"] = jnp.take(self.state, idx, axis=0)
+            yield batch
+
+
 def split_indices(
     n: int, val_split: float, seed: int
 ) -> Tuple[np.ndarray, np.ndarray]:
@@ -113,14 +154,32 @@ def build_dataset(cfg: DatasetConfig) -> NPZVideoDataset:
     raise NotImplementedError(f"Unsupported dataset type: {cfg.type}")
 
 
+_DEVICE_RESIDENT_LIMIT_BYTES = 2 << 30  # keep well under one chip's HBM
+
+
 def build_dataloaders(
     cfg: DatasetConfig,
     batch_size: int,
     seed: int = 0,
     sharding: Optional[jax.sharding.Sharding] = None,
-) -> Tuple[DataLoader, DataLoader]:
+    device_resident: Optional[bool] = None,
+):
+    """Train/val loaders. `device_resident=None` auto-selects: single-device
+    placement + dataset small enough -> DeviceDataLoader (no per-step
+    host->device transfer); otherwise the streaming DataLoader."""
     dataset = build_dataset(cfg)
     train_idx, val_idx = split_indices(len(dataset), cfg.val_split, seed)
+
+    if device_resident is None:
+        single = sharding is None or len(sharding.device_set) == 1
+        nbytes = dataset.seq_data.size * 4
+        device_resident = single and nbytes <= _DEVICE_RESIDENT_LIMIT_BYTES
+
+    if device_resident:
+        train = DeviceDataLoader(dataset, train_idx, batch_size, shuffle=True, seed=seed)
+        val = DeviceDataLoader(dataset, val_idx, batch_size, shuffle=False, seed=seed)
+        return train, val
+
     train = DataLoader(
         dataset, train_idx, batch_size, shuffle=True, seed=seed, sharding=sharding
     )

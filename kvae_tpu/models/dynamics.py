@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from kvae_tpu.ops.precision import einsum
+
 from kvae_tpu.models import rnn
 from kvae_tpu.ops.lgssm import SequenceDynamics
 
@@ -119,9 +121,9 @@ class LSTMAlphaDynamics(nn.Module):
         else:
             carry, h = rnn.lstm_step(self.lstm, carry, y_prev)
             alpha = jax.nn.softmax(h @ self.head_w + self.head_b, axis=-1)
-            A = jnp.einsum("bk,kij->bij", alpha, self.A)
-            B = jnp.einsum("bk,knm->bnm", alpha, self.B)
-            C = jnp.einsum("bk,kpn->bpn", alpha, self.C)
+            A = einsum("bk,kij->bij", alpha, self.A)
+            B = einsum("bk,knm->bnm", alpha, self.B)
+            C = einsum("bk,kpn->bpn", alpha, self.C)
         Q = jnp.broadcast_to(Q_fixed, (batch, self.n, self.n))
         return carry, (A, B, C, Q, alpha)
 
@@ -224,10 +226,10 @@ class SwitchingDynamics(nn.Module):
 
         def body(y_prev, xs):
             l_mat, k = xs
-            l_t = jnp.einsum("bk,bkj->bj", y_prev, l_mat)
+            l_t = einsum("bk,bkj->bj", y_prev, l_mat)
             y_t = gumbel_softmax(k, l_t, tau, hard)
             log_q = jnp.sum(y_t * jax.nn.log_softmax(l_t, axis=-1), axis=-1)
-            trans_probs = jnp.einsum("bk,kj->bj", y_prev, trans)
+            trans_probs = einsum("bk,kj->bj", y_prev, trans)
             log_p = jnp.sum(y_t * jnp.log(jnp.clip(trans_probs, min=1e-8)), axis=-1)
             return y_t, (y_t, log_q, log_p)
 
@@ -239,9 +241,9 @@ class SwitchingDynamics(nn.Module):
         log_p = jnp.concatenate([log_p0[:, None], jnp.swapaxes(log_p_rest, 0, 1)], axis=1)
 
         seq = SequenceDynamics(
-            A=jnp.einsum("btk,kij->btij", y_seq, self.A),
-            B=jnp.einsum("btk,knm->btnm", y_seq, self.B),
-            Q=jnp.einsum("btk,kij->btij", y_seq, self.Q),
+            A=einsum("btk,kij->btij", y_seq, self.A),
+            B=einsum("btk,knm->btnm", y_seq, self.B),
+            Q=einsum("btk,kij->btij", y_seq, self.Q),
             # emission shared across regimes: C = C[0] (reference :85-86)
             C=jnp.broadcast_to(self.C[0], (batch, T, self.p, self.n)),
         )

@@ -24,6 +24,8 @@ from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp
+
+from kvae_tpu.ops.precision import einsum
 from flax import linen as nn
 
 from kvae_tpu.config import KVAEConfig
@@ -97,6 +99,21 @@ class KVAE(nn.Module):
             return jax.nn.sigmoid(logits)
         return logits
 
+    def _smooth_seq(self, a, u, mask, params, dyn_seq):
+        """Dispatch on config.filter_impl for sequence-dynamics smoothing:
+        'scan' (sequential), 'assoc' (O(log T) parallel-in-time), or
+        'pallas' (fused VMEM kernel filter + scan smoother)."""
+        impl = self.config.filter_impl.lower()
+        if impl == "assoc":
+            from kvae_tpu.ops.assoc import lgssm_smooth_assoc
+
+            return lgssm_smooth_assoc(a, u, mask, params, dynamics=dyn_seq)
+        if impl == "pallas":
+            from kvae_tpu.ops.pallas_kf import lgssm_smooth_pallas
+
+            return lgssm_smooth_pallas(a, u, mask, params, dynamics=dyn_seq)
+        return lgssm_smooth(a, u, mask, params, dynamics=dyn_seq)
+
     # ------------------------------------------------------------------
     # forward (reference model.py:134-186)
     # ------------------------------------------------------------------
@@ -123,7 +140,7 @@ class KVAE(nn.Module):
             dyn_seq, log_q, log_p, state_probs = self.dynamics(
                 a, tau=jnp.asarray(tau, jnp.float32), hard=not train, rng=rng
             )
-            sr = lgssm_smooth(a, u, mask, params, dynamics=dyn_seq)
+            sr = self._smooth_seq(a, u, mask, params, dyn_seq)
         else:
             log_q = log_p = jnp.zeros((b, t), dtype=x.dtype)
             carry0 = self.dynamics.init_carry(b)
@@ -249,9 +266,9 @@ class KVAE(nn.Module):
         C_seq = outputs["C"]
 
         x_recon = self._maybe_sigmoid(self.decode_sequence(a_vae))
-        a_imputed = jnp.einsum("btpn,btn->btp", C_seq, outputs["mus_smooth"])
+        a_imputed = einsum("btpn,btn->btp", C_seq, outputs["mus_smooth"])
         x_imputed = self._maybe_sigmoid(self.decode_sequence(a_imputed))
-        a_filtered = jnp.einsum("btpn,btn->btp", C_seq, outputs["mus_filt"])
+        a_filtered = einsum("btpn,btn->btp", C_seq, outputs["mus_filt"])
         x_filtered = self._maybe_sigmoid(self.decode_sequence(a_filtered))
         return {
             "x_recon": x_recon,

@@ -23,6 +23,8 @@ import math
 import jax
 import jax.numpy as jnp
 
+from kvae_tpu.ops.precision import einsum
+
 _LOG_2PI = math.log(2.0 * math.pi)
 
 
@@ -103,4 +105,4 @@ def mvn_sample_chol(key: jax.Array, mean: jax.Array, scale_tril: jax.Array) -> j
     """Reparameterized sample mean + L @ eps (torch .rsample() equivalent,
     reference kalman_filter.py:351)."""
     eps = jax.random.normal(key, mean.shape, dtype=mean.dtype)
-    return mean + jnp.einsum("...ij,...j->...i", scale_tril, eps)
+    return mean + einsum("...ij,...j->...i", scale_tril, eps)

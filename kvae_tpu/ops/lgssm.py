@@ -30,6 +30,8 @@ from typing import Callable, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from kvae_tpu.ops.precision import einsum
+
 from kvae_tpu.ops.gaussian import (
     mvn_logpdf_chol,
     mvn_sample_chol,
@@ -77,26 +79,26 @@ class SmoothResult(NamedTuple):
 
 
 def _predict(mu, sigma, A, B, u, Q):
-    mu_pred = jnp.einsum("bij,bj->bi", A, mu) + jnp.einsum("bij,bj->bi", B, u)
-    sigma_pred = jnp.einsum("bij,bjk,blk->bil", A, sigma, A) + Q
+    mu_pred = einsum("bij,bj->bi", A, mu) + einsum("bij,bj->bi", B, u)
+    sigma_pred = einsum("bij,bjk,blk->bil", A, sigma, A) + Q
     return mu_pred, sigma_pred
 
 
 def _update(mu_pred, sigma_pred, y, mask, C, R, eye_n):
     """Masked measurement update. Returns (mu, sigma, y_hat)."""
-    y_hat = jnp.einsum("bpn,bn->bp", C, mu_pred)
+    y_hat = einsum("bpn,bn->bp", C, mu_pred)
     resid = y - y_hat
-    S = jnp.einsum("bpn,bnm,bqm->bpq", C, sigma_pred, C) + R
+    S = einsum("bpn,bnm,bqm->bpq", C, sigma_pred, C) + R
     S = symmetrize(S)
-    PCt = jnp.einsum("bnm,bpm->bnp", sigma_pred, C)
+    PCt = einsum("bnm,bpm->bnp", sigma_pred, C)
     # gain via solve (reference :82-89); solve(S, PCt^T)^T
     gain = jnp.swapaxes(jnp.linalg.solve(S, jnp.swapaxes(PCt, -1, -2)), -1, -2)
     gain = mask[:, None, None] * gain  # zero gain on missing frames (:92)
-    mu = mu_pred + jnp.einsum("bnp,bp->bn", gain, resid)
-    i_kc = eye_n - jnp.einsum("bnp,bpm->bnm", gain, C)
+    mu = mu_pred + einsum("bnp,bp->bn", gain, resid)
+    i_kc = eye_n - einsum("bnp,bpm->bnm", gain, C)
     sigma = (
-        jnp.einsum("bij,bjk,blk->bil", i_kc, sigma_pred, i_kc)
-        + jnp.einsum("bip,pq,bjq->bij", gain, R, gain)
+        einsum("bij,bjk,blk->bil", i_kc, sigma_pred, i_kc)
+        + einsum("bip,pq,bjq->bij", gain, R, gain)
     )
     return mu, symmetrize(sigma), y_hat
 
@@ -236,13 +238,13 @@ def lgssm_smooth_from_filter(fr: FilterResult) -> SmoothResult:
         mu_next_T, sig_next_T = carry
         mu_f, sig_f, mu_p_next, sig_p_next, A_next = x
         # J = solve(sigma_pred^T, (sigma_filt A^T)^T)^T  (reference :229)
-        sig_at = jnp.einsum("bij,bkj->bik", sig_f, A_next)  # sigma_f @ A^T
+        sig_at = einsum("bij,bkj->bik", sig_f, A_next)  # sigma_f @ A^T
         J = jnp.swapaxes(
             jnp.linalg.solve(jnp.swapaxes(sig_p_next, -1, -2), jnp.swapaxes(sig_at, -1, -2)),
             -1, -2,
         )
-        mu_s = mu_f + jnp.einsum("bij,bj->bi", J, mu_next_T - mu_p_next)
-        sig_s = sig_f + jnp.einsum(
+        mu_s = mu_f + einsum("bij,bj->bi", J, mu_next_T - mu_p_next)
+        sig_s = sig_f + einsum(
             "bij,bjk,blk->bil", J, sig_next_T - sig_p_next, J
         )
         sig_s = symmetrize(sig_s)
@@ -306,14 +308,14 @@ def lgssm_elbo(
 
     # Transition term: zero-mean MVN trick log p(z_t - mu_trans; 0, Q_t)
     mu_trans = (
-        jnp.einsum("btij,btj->bti", fr.A[:, 1:], z[:, :-1])
-        + jnp.einsum("btij,btj->bti", fr.B[:, 1:], u[:, 1:])
+        einsum("btij,btj->bti", fr.A[:, 1:], z[:, :-1])
+        + einsum("btij,btj->bti", fr.B[:, 1:], u[:, 1:])
     )
     L_Q = safe_cholesky(fr.Q[:, 1:])
     log_trans = mvn_logpdf_chol(z[:, 1:] - mu_trans, 0.0, L_Q)  # [B,T-1]
 
     # Emission term, masked (reference :371-377)
-    mu_emiss = jnp.einsum("btpn,btn->btp", fr.C, z)
+    mu_emiss = einsum("btpn,btn->btp", fr.C, z)
     L_R = jnp.linalg.cholesky(params.R.astype(dtype))
     log_emiss = mvn_logpdf_chol(y - mu_emiss, 0.0, L_R) * mask  # [B,T]
 
@@ -382,12 +384,12 @@ def lgssm_generate(
 
     def body(z, x):
         A_t, B_t, C_t, LQ_t, u_t, k = x
-        z_next = jnp.einsum("bij,bj->bi", A_t, z) + jnp.einsum("bij,bj->bi", B_t, u_t)
+        z_next = einsum("bij,bj->bi", A_t, z) + einsum("bij,bj->bi", B_t, u_t)
         if not deterministic:
-            z_next = z_next + jnp.einsum(
+            z_next = z_next + einsum(
                 "bij,bj->bi", LQ_t, jax.random.normal(k, (batch, n), dtype=dtype)
             )
-        a_t = jnp.einsum("bpn,bn->bp", C_t, z_next)
+        a_t = einsum("bpn,bn->bp", C_t, z_next)
         return z_next, (z_next, a_t)
 
     _, (z_seq, a_seq) = jax.lax.scan(body, z0, xs)
@@ -395,7 +397,7 @@ def lgssm_generate(
     if not deterministic and R is not None:
         L_R = jnp.linalg.cholesky(R.astype(dtype))
         key_obs = jax.random.fold_in(key, 1)
-        a_seq = a_seq + jnp.einsum(
+        a_seq = a_seq + einsum(
             "pq,btq->btp", L_R, jax.random.normal(key_obs, a_seq.shape, dtype=dtype)
         )
     return z_seq, a_seq

@@ -1,0 +1,307 @@
+"""Fused Pallas TPU kernel for the masked Kalman filter recursion.
+
+Design (see /opt/skills/guides/pallas_guide.md):
+  - The LGSSM matrices are tiny (n=4, p=2) — the MXU is useless here; the win
+    is keeping the ENTIRE T-step recursion resident in VMEM and vectorizing
+    over the batch on the VPU.
+  - Layout: batch maps to (sublane, lane) = (8, 128) tiles; every scalar
+    entry of mu/Sigma/A/... is one [8,128] register-resident tile covering
+    1024 batch elements. All small-matrix algebra (predict, innovation,
+    Cholesky solve for the gain, Joseph update) is Python-unrolled over the
+    static n/p/m indices — pure VPU element-wise ops, zero layout churn.
+  - Grid over batch tiles of 1024 (batch padded up; the pad lanes compute
+    garbage that is sliced off on the way out).
+  - The gain solve uses an unrolled Cholesky on the [p][p] tile matrix
+    (closed-form-exact for any small p) instead of XLA's batched LU.
+  - Gradients: `lgssm_filter_pallas` is a jax.custom_vjp whose forward is
+    this kernel and whose backward is the VJP of the (numerically
+    equivalent) `lax.scan` filter — inference/eval gets the fused kernel,
+    training remains exactly as differentiable as the scan path.
+
+Semantics parity: identical to ops/lgssm.lgssm_filter (sequence-dynamics
+mode), i.e. to reference kvae/kalman/kalman_filter.py:31-201 — gated by
+tests/test_pallas_kf.py against the scan implementation.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from kvae_tpu.ops.lgssm import (
+    FilterResult,
+    LGSSMParams,
+    SequenceDynamics,
+    SmoothResult,
+    lgssm_filter,
+    lgssm_smooth_from_filter,
+)
+
+_SUBLANES = 8
+_LANES = 128
+_TILE_B = _SUBLANES * _LANES  # batch elements per grid cell
+
+
+# ---------------------------------------------------------------------------
+# tile-list linear algebra (operands are [8,128] arrays; indices unrolled)
+# ---------------------------------------------------------------------------
+
+def _chol_tiles(S, p):
+    """Cholesky of a [p][p] tile matrix (lower)."""
+    L = [[None] * p for _ in range(p)]
+    for i in range(p):
+        s = S[i][i]
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        L[i][i] = jnp.sqrt(jnp.maximum(s, 1e-20))
+        for j in range(i + 1, p):
+            v = S[j][i]
+            for k in range(i):
+                v = v - L[j][k] * L[i][k]
+            L[j][i] = v / L[i][i]
+    return L
+
+
+def _chol_solve(L, b, p):
+    """Solve (L L^T) x = b for a length-p tile vector b."""
+    z = [None] * p
+    for i in range(p):
+        v = b[i]
+        for k in range(i):
+            v = v - L[i][k] * z[k]
+        z[i] = v / L[i][i]
+    x = [None] * p
+    for i in reversed(range(p)):
+        v = z[i]
+        for k in range(i + 1, p):
+            v = v - L[k][i] * x[k]
+        x[i] = v / L[i][i]
+    return x
+
+
+def _filter_kernel(
+    mu0_ref, sig0_ref, r_ref,                      # SMEM
+    y_ref, u_ref, mask_ref, a_ref, b_ref, c_ref, q_ref,  # VMEM in
+    muf_ref, sigf_ref, mup_ref, sigp_ref,          # VMEM out
+    *, T: int, n: int, m: int, p: int,
+):
+    shape = (_SUBLANES, _LANES)
+
+    mu = jnp.stack([jnp.full(shape, mu0_ref[0, i]) for i in range(n)])
+    sigma = jnp.stack([
+        jnp.stack([jnp.full(shape, sig0_ref[i, j]) for j in range(n)])
+        for i in range(n)
+    ])
+    R = [[r_ref[i, j] for j in range(p)] for i in range(p)]
+
+    def body(t, carry):
+        mu, sigma = carry                      # [n,8,128], [n,n,8,128]
+        A = a_ref[t]                           # [n,n,8,128]
+        Bm = b_ref[t]                          # [n,m,8,128]
+        C = c_ref[t]                           # [p,n,8,128]
+        Q = q_ref[t]                           # [n,n,8,128]
+        y = y_ref[t]                           # [p,8,128]
+        u = u_ref[t]                           # [m,8,128]
+        mk = mask_ref[t]                       # [8,128]
+
+        # predict: mu_pred = A mu + B u ; sigma_pred = A sigma A^T + Q
+        mu_pred = [
+            sum(A[i, j] * mu[j] for j in range(n))
+            + sum(Bm[i, j] * u[j] for j in range(m))
+            for i in range(n)
+        ]
+        a_sig = [[sum(A[i, k] * sigma[k, j] for k in range(n)) for j in range(n)]
+                 for i in range(n)]
+        sigma_pred = [[
+            sum(a_sig[i][k] * A[j, k] for k in range(n)) + Q[i, j]
+            for j in range(n)] for i in range(n)]
+
+        # innovation
+        y_hat = [sum(C[q, i] * mu_pred[i] for i in range(n)) for q in range(p)]
+        resid = [y[q] - y_hat[q] for q in range(p)]
+        c_sig = [[sum(C[q, k] * sigma_pred[k][j] for k in range(n)) for j in range(n)]
+                 for q in range(p)]
+        S = [[sum(c_sig[q][k] * C[r, k] for k in range(n)) + R[q][r]
+              for r in range(p)] for q in range(p)]
+        S = [[0.5 * (S[q][r] + S[r][q]) for r in range(p)] for q in range(p)]
+
+        # gain K = sigma_pred C^T S^{-1}, masked
+        pct = [[sum(sigma_pred[i][k] * C[q, k] for k in range(n)) for q in range(p)]
+               for i in range(n)]
+        L = _chol_tiles(S, p)
+        K = [_chol_solve(L, pct[i], p) for i in range(n)]  # [n][p]
+        K = [[mk * K[i][q] for q in range(p)] for i in range(n)]
+
+        # update: Joseph form
+        mu_new = [mu_pred[i] + sum(K[i][q] * resid[q] for q in range(p))
+                  for i in range(n)]
+        ikc = [[(1.0 if i == j else 0.0) - sum(K[i][q] * C[q, j] for q in range(p))
+                for j in range(n)] for i in range(n)]
+        t1 = [[sum(ikc[i][k] * sigma_pred[k][j] for k in range(n)) for j in range(n)]
+              for i in range(n)]
+        t2 = [[sum(t1[i][k] * ikc[j][k] for k in range(n)) for j in range(n)]
+              for i in range(n)]
+        krk = [[sum(K[i][q] * R[q][r] * K[j][r] for q in range(p) for r in range(p))
+                for j in range(n)] for i in range(n)]
+        sigma_new = [[0.5 * (t2[i][j] + krk[i][j] + t2[j][i] + krk[j][i])
+                      for j in range(n)] for i in range(n)]
+
+        mu_arr = jnp.stack(mu_new)
+        sig_arr = jnp.stack([jnp.stack(row) for row in sigma_new])
+        muf_ref[t] = mu_arr
+        sigf_ref[t] = sig_arr
+        mup_ref[t] = jnp.stack(mu_pred)
+        sigp_ref[t] = jnp.stack([jnp.stack(row) for row in sigma_pred])
+        return mu_arr, sig_arr
+
+    jax.lax.fori_loop(0, T, body, (mu, sigma))
+
+
+def _to_tiles(x: jax.Array, b_pad: int) -> jax.Array:
+    """[B, T, ...dims] -> [T, ...dims, b_pad//128, 128] (batch -> tiles)."""
+    b = x.shape[0]
+    pad = [(0, b_pad - b)] + [(0, 0)] * (x.ndim - 1)
+    x = jnp.pad(x, pad)
+    # move batch to the back
+    x = jnp.moveaxis(x, 0, -1)          # [T, ...dims, Bp]
+    return x.reshape(x.shape[:-1] + (b_pad // _LANES, _LANES))
+
+
+def _from_tiles(x: jax.Array, b: int) -> jax.Array:
+    """[T, ...dims, Sp, 128] -> [B, T, ...dims]."""
+    x = x.reshape(x.shape[:-2] + (-1,))
+    x = jnp.moveaxis(x, -1, 0)
+    return x[:b]
+
+
+def _filter_pallas_raw(y, u, mask, A, B, C, Q, mu0, sigma0, R, *, interpret):
+    batch, T, p = y.shape
+    n = A.shape[-1]
+    m = B.shape[-1]
+    b_pad = -(-batch // _TILE_B) * _TILE_B
+    n_tiles = b_pad // _TILE_B
+
+    y_t = _to_tiles(y, b_pad)
+    u_t = _to_tiles(u, b_pad)
+    mask_t = _to_tiles(mask, b_pad)
+    A_t = _to_tiles(A, b_pad)
+    B_t = _to_tiles(B, b_pad)
+    C_t = _to_tiles(C, b_pad)
+    Q_t = _to_tiles(Q, b_pad)
+
+    sp = _SUBLANES  # sublane groups per grid cell
+
+    def vspec(*dims):
+        block = (T,) + dims + (sp, _LANES)
+        zeros = (0,) * (1 + len(dims))
+        return pl.BlockSpec(
+            block, lambda g, _z=zeros: _z + (g, 0), memory_space=pltpu.VMEM
+        )
+
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((T, n, b_pad // _LANES, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((T, n, n, b_pad // _LANES, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((T, n, b_pad // _LANES, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((T, n, n, b_pad // _LANES, _LANES), jnp.float32),
+    ]
+    kernel = functools.partial(_filter_kernel, T=T, n=n, m=m, p=p)
+    muf, sigf, mup, sigp = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            smem((1, n), lambda g: (0, 0)),
+            smem((n, n), lambda g: (0, 0)),
+            smem((p, p), lambda g: (0, 0)),
+            vspec(p), vspec(m), vspec(), vspec(n, n), vspec(n, m),
+            vspec(p, n), vspec(n, n),
+        ],
+        out_specs=[vspec(n), vspec(n, n), vspec(n), vspec(n, n)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        mu0.reshape(1, n), sigma0, R,
+        y_t, u_t, mask_t, A_t, B_t, C_t, Q_t,
+    )
+    return (
+        _from_tiles(muf, batch), _from_tiles(sigf, batch),
+        _from_tiles(mup, batch), _from_tiles(sigp, batch),
+    )
+
+
+def _filter_scan_raw(y, u, mask, A, B, C, Q, mu0, sigma0, R):
+    """Pure-array scan filter (for the custom-vjp backward)."""
+    params = LGSSMParams(mu0=mu0, sigma0=sigma0, R=R, Q=Q[0, 0])
+    fr = lgssm_filter(
+        y, u, mask, params, dynamics=SequenceDynamics(A=A, B=B, C=C, Q=Q)
+    )
+    return fr.mu_filt, fr.sigma_filt, fr.mu_pred, fr.sigma_pred
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def _filter_pallas_core(y, u, mask, A, B, C, Q, mu0, sigma0, R, interpret):
+    return _filter_pallas_raw(
+        y, u, mask, A, B, C, Q, mu0, sigma0, R, interpret=interpret
+    )
+
+
+def _core_fwd(y, u, mask, A, B, C, Q, mu0, sigma0, R, interpret):
+    out = _filter_pallas_raw(
+        y, u, mask, A, B, C, Q, mu0, sigma0, R, interpret=interpret
+    )
+    return out, (y, u, mask, A, B, C, Q, mu0, sigma0, R)
+
+
+def _core_bwd(interpret, residuals, cotangents):
+    _, vjp = jax.vjp(_filter_scan_raw, *residuals)
+    return vjp(cotangents)
+
+
+_filter_pallas_core.defvjp(_core_fwd, _core_bwd)
+
+
+def _default_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def lgssm_filter_pallas(
+    y: jax.Array,
+    u: jax.Array,
+    mask: Optional[jax.Array],
+    params: LGSSMParams,
+    dynamics: SequenceDynamics,
+    interpret: Optional[bool] = None,
+) -> FilterResult:
+    """Fused-VMEM masked Kalman filter; API-compatible with
+    ops.lgssm.lgssm_filter (sequence-dynamics mode)."""
+    batch, T, _ = y.shape
+    if mask is None:
+        mask = jnp.ones((batch, T), dtype=y.dtype)
+    if interpret is None:
+        interpret = _default_interpret()
+    muf, sigf, mup, sigp = _filter_pallas_core(
+        y.astype(jnp.float32), u.astype(jnp.float32), mask.astype(jnp.float32),
+        dynamics.A, dynamics.B, dynamics.C, dynamics.Q,
+        params.mu0, params.sigma0, params.R, interpret,
+    )
+    return FilterResult(
+        mu_filt=muf, sigma_filt=sigf, mu_pred=mup, sigma_pred=sigp,
+        A=dynamics.A, B=dynamics.B, C=dynamics.C, Q=dynamics.Q, aux=None,
+    )
+
+
+def lgssm_smooth_pallas(
+    y: jax.Array,
+    u: jax.Array,
+    mask: Optional[jax.Array],
+    params: LGSSMParams,
+    dynamics: SequenceDynamics,
+    interpret: Optional[bool] = None,
+) -> SmoothResult:
+    """Pallas filter + scan RTS smoother."""
+    fr = lgssm_filter_pallas(y, u, mask, params, dynamics, interpret=interpret)
+    return lgssm_smooth_from_filter(fr)

@@ -13,6 +13,8 @@ from typing import Tuple
 import jax
 import jax.numpy as jnp
 
+from kvae_tpu.ops.precision import einsum
+
 from kvae_tpu.models.kvae import KVAE
 from kvae_tpu.train.state import TrainState
 
@@ -31,10 +33,10 @@ def make_prediction_test_step(model: KVAE):
         A, B, C = out["A"], out["B"], out["C"]
 
         z_pred = (
-            jnp.einsum("btij,btj->bti", A[:, :-1], z[:, :-1])
-            + jnp.einsum("btij,btj->bti", B[:, :-1], u[:, 1:])
+            einsum("btij,btj->bti", A[:, :-1], z[:, :-1])
+            + einsum("btij,btj->bti", B[:, :-1], u[:, 1:])
         )
-        a_pred = jnp.einsum("btpn,btn->btp", C[:, 1:], z_pred)
+        a_pred = einsum("btpn,btn->btp", C[:, 1:], z_pred)
         a_true = a[:, 1:]
         mse_kf = jnp.mean((a_pred - a_true) ** 2)
         mse_naive = jnp.mean((a[:, :-1] - a_true) ** 2)
