@@ -27,6 +27,10 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from kvae_tpu.utils.platform import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from kvae_tpu.config import KVAEConfig, TrainingConfig
     from kvae_tpu.train.state import create_train_state, make_train_step
 

@@ -294,6 +294,121 @@ def lgssm_filter_pallas(
     )
 
 
+# ---------------------------------------------------------------------------
+# RTS smoother kernel
+# ---------------------------------------------------------------------------
+
+def _rts_kernel(
+    muf_ref, sigf_ref, mup_ref, sigp_ref, a_ref,   # VMEM in
+    mus_ref, sigs_ref,                              # VMEM out
+    *, T: int, n: int,
+):
+    """Reverse RTS recursion, all tiles VMEM-resident. Mirrors
+    ops/lgssm.lgssm_smooth_from_filter (reference kalman_filter.py:204-279)."""
+    mu_last = muf_ref[T - 1]
+    sig_last = sigf_ref[T - 1]
+    mus_ref[T - 1] = mu_last
+    sigs_ref[T - 1] = sig_last
+
+    def body(step, carry):
+        mu_s, sig_s = carry                     # smoothed at t+1
+        t = T - 2 - step
+        A_next = a_ref[t + 1]                   # [n,n,8,128]
+        mu_f = muf_ref[t]
+        sig_f = sigf_ref[t]
+        mu_p = mup_ref[t + 1]
+        sig_p = sigp_ref[t + 1]
+
+        # PFt = sig_f A^T ; J = PFt sig_p^{-1} via unrolled Cholesky solve
+        pft = [[sum(sig_f[i, j] * A_next[k, j] for j in range(n)) for k in range(n)]
+               for i in range(n)]
+        S = [[sig_p[i, j] for j in range(n)] for i in range(n)]
+        L = _chol_tiles(S, n)
+        J = [_chol_solve(L, pft[i], n) for i in range(n)]
+
+        mu_new = [
+            mu_f[i] + sum(J[i][j] * (mu_s[j] - mu_p[j]) for j in range(n))
+            for i in range(n)
+        ]
+        # sig_new = sig_f + J (sig_s - sig_p) J^T, symmetrized
+        diff = [[sig_s[i, j] - sig_p[i, j] for j in range(n)] for i in range(n)]
+        jd = [[sum(J[i][k] * diff[k][j] for k in range(n)) for j in range(n)]
+              for i in range(n)]
+        jdjt = [[sum(jd[i][k] * J[j][k] for k in range(n)) for j in range(n)]
+                for i in range(n)]
+        sig_new = [[sig_f[i, j] + 0.5 * (jdjt[i][j] + jdjt[j][i]) for j in range(n)]
+                   for i in range(n)]
+
+        mu_arr = jnp.stack(mu_new)
+        sig_arr = jnp.stack([jnp.stack(row) for row in sig_new])
+        mus_ref[t] = mu_arr
+        sigs_ref[t] = sig_arr
+        return mu_arr, sig_arr
+
+    jax.lax.fori_loop(0, T - 1, body, (mu_last, sig_last))
+
+
+def _rts_pallas_raw(muf, sigf, mup, sigp, A, *, interpret):
+    batch, T, n = muf.shape
+    b_pad = -(-batch // _TILE_B) * _TILE_B
+    n_tiles = b_pad // _TILE_B
+    sp = _SUBLANES
+
+    def vspec(*dims):
+        block = (T,) + dims + (sp, _LANES)
+        zeros = (0,) * (1 + len(dims))
+        return pl.BlockSpec(
+            block, lambda g, _z=zeros: _z + (g, 0), memory_space=pltpu.VMEM
+        )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((T, n, b_pad // _LANES, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((T, n, n, b_pad // _LANES, _LANES), jnp.float32),
+    ]
+    mus, sigs = pl.pallas_call(
+        functools.partial(_rts_kernel, T=T, n=n),
+        grid=(n_tiles,),
+        in_specs=[vspec(n), vspec(n, n), vspec(n), vspec(n, n), vspec(n, n)],
+        out_specs=[vspec(n), vspec(n, n)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(
+        _to_tiles(muf, b_pad), _to_tiles(sigf, b_pad),
+        _to_tiles(mup, b_pad), _to_tiles(sigp, b_pad), _to_tiles(A, b_pad),
+    )
+    return _from_tiles(mus, batch), _from_tiles(sigs, batch)
+
+
+def _rts_scan_raw(muf, sigf, mup, sigp, A):
+    fr = FilterResult(
+        mu_filt=muf, sigma_filt=sigf, mu_pred=mup, sigma_pred=sigp,
+        A=A, B=jnp.zeros_like(A[..., :1]), C=jnp.zeros_like(A[..., :1, :]),
+        Q=jnp.zeros_like(A), aux=None,
+    )
+    sr = lgssm_smooth_from_filter(fr)
+    return sr.mu_smooth, sr.sigma_smooth
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _rts_pallas_core(muf, sigf, mup, sigp, A, interpret):
+    return _rts_pallas_raw(muf, sigf, mup, sigp, A, interpret=interpret)
+
+
+def _rts_fwd(muf, sigf, mup, sigp, A, interpret):
+    return (
+        _rts_pallas_raw(muf, sigf, mup, sigp, A, interpret=interpret),
+        (muf, sigf, mup, sigp, A),
+    )
+
+
+def _rts_bwd(interpret, residuals, cotangents):
+    _, vjp = jax.vjp(_rts_scan_raw, *residuals)
+    return vjp(cotangents)
+
+
+_rts_pallas_core.defvjp(_rts_fwd, _rts_bwd)
+
+
 def lgssm_smooth_pallas(
     y: jax.Array,
     u: jax.Array,
@@ -302,6 +417,12 @@ def lgssm_smooth_pallas(
     dynamics: SequenceDynamics,
     interpret: Optional[bool] = None,
 ) -> SmoothResult:
-    """Pallas filter + scan RTS smoother."""
+    """Fully fused path: Pallas filter + Pallas RTS smoother (both with
+    scan-backed custom VJPs for training)."""
     fr = lgssm_filter_pallas(y, u, mask, params, dynamics, interpret=interpret)
-    return lgssm_smooth_from_filter(fr)
+    if interpret is None:
+        interpret = _default_interpret()
+    mu_s, sig_s = _rts_pallas_core(
+        fr.mu_filt, fr.sigma_filt, fr.mu_pred, fr.sigma_pred, dynamics.A, interpret
+    )
+    return SmoothResult(mu_smooth=mu_s, sigma_smooth=sig_s, filter_result=fr)

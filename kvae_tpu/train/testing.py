@@ -45,6 +45,30 @@ def make_prediction_test_step(model: KVAE):
     return step
 
 
+def reconstruct_and_save(
+    model: KVAE, state: TrainState, loader, out_dir, key: jax.Array, prefix: str = "vae"
+):
+    """Decode the first validation batch and write true/recon mp4s
+    (reference kvae/train/testing.py:77-97). Requires imageio; best-effort."""
+    from pathlib import Path
+
+    from kvae_tpu.utils.plots import save_frames
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    batch = next(iter(loader))
+    x = batch["images"]
+    k_sample, k_gumbel = jax.random.split(key)
+    outputs = model.apply(
+        {"params": state.params}, x, train=False,
+        rngs={"sample": k_sample, "gumbel": k_gumbel},
+    )
+    import numpy as np
+
+    save_frames(np.asarray(x[0]), str(out / f"{prefix}_true.mp4"))
+    save_frames(np.asarray(outputs["x_recon"][0]), str(out / f"{prefix}_recon.mp4"))
+
+
 def kalman_prediction_test(
     pred_step, state: TrainState, loader, key: jax.Array, max_batches: int = 5
 ) -> Tuple[float, float]:

@@ -49,6 +49,24 @@ def test_pallas_smoother_equals_scan(rng):
         np.asarray(sr_pal.mu_smooth), np.asarray(sr_scan.mu_smooth),
         rtol=1e-4, atol=1e-5,
     )
+    np.testing.assert_allclose(
+        np.asarray(sr_pal.sigma_smooth), np.asarray(sr_scan.sigma_smooth),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_pallas_smoother_gradients_match_scan(rng):
+    s = _random_lgssm(rng, batch=2, T=6)
+    params, dyn = _params(s), _to_seq_dynamics(s, 2)
+    y, u = jnp.asarray(s["y"]), jnp.asarray(s["u"])
+
+    def loss(A, smooth_fn, **kw):
+        sr = smooth_fn(y, u, None, params, dynamics=dyn._replace(A=A), **kw)
+        return jnp.sum(sr.mu_smooth ** 2) + jnp.sum(sr.sigma_smooth ** 2)
+
+    g_pal = jax.grad(lambda A: loss(A, lgssm_smooth_pallas, interpret=True))(dyn.A)
+    g_scan = jax.grad(lambda A: loss(A, lgssm_smooth))(dyn.A)
+    np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_scan), rtol=2e-3, atol=1e-5)
 
 
 def test_pallas_odd_batch_padding(rng):
