@@ -18,8 +18,9 @@ import time
 
 REFERENCE_STEPS_PER_SEC = 2.625  # measured: /root/reference train step, CPU, bs=32 T=20
 
-WARMUP_STEPS = 3
-TIMED_STEPS = 20
+WARMUP_STEPS = 10
+TIMED_STEPS = 500   # per window
+WINDOWS = 5         # report the median window (dispatch-stream jitter)
 
 
 def main():
@@ -48,16 +49,18 @@ def main():
     t0 = time.perf_counter()
     for _ in range(WARMUP_STEPS):
         state, metrics = train_step(state, x, "all")
-    jax.block_until_ready(metrics)
+    float(metrics["loss"])
     compile_and_warmup = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    for _ in range(TIMED_STEPS):
-        state, metrics = train_step(state, x, "all")
-    jax.block_until_ready(metrics)
-    dt = time.perf_counter() - t0
+    rates = []
+    for _ in range(WINDOWS):
+        t0 = time.perf_counter()
+        for _ in range(TIMED_STEPS):
+            state, metrics = train_step(state, x, "all")
+        float(metrics["loss"])  # hard sync
+        rates.append(TIMED_STEPS / (time.perf_counter() - t0))
 
-    steps_per_sec = TIMED_STEPS / dt
+    steps_per_sec = sorted(rates)[len(rates) // 2]
     print(
         f"device={jax.devices()[0]} compile+warmup={compile_and_warmup:.1f}s "
         f"loss={float(metrics['loss']):.3f} {steps_per_sec:.2f} steps/s",

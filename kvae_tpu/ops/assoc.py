@@ -26,6 +26,7 @@ import jax
 import jax.numpy as jnp
 
 from kvae_tpu.ops.precision import einsum
+from kvae_tpu.ops.linalg import solve_small
 
 from kvae_tpu.ops.gaussian import symmetrize
 from kvae_tpu.ops.lgssm import (
@@ -46,7 +47,7 @@ class _FilterElem(NamedTuple):
 
 def _solve(mat, rhs):
     """solve over trailing dims, rhs [... ,n, k]."""
-    return jnp.linalg.solve(mat, rhs)
+    return solve_small(mat, rhs)
 
 
 def _filter_elements(y, u, mask, params: LGSSMParams, dyn: SequenceDynamics):

@@ -31,6 +31,7 @@ import jax
 import jax.numpy as jnp
 
 from kvae_tpu.ops.precision import einsum
+from kvae_tpu.ops.linalg import solve_small
 
 from kvae_tpu.ops.gaussian import (
     mvn_logpdf_chol,
@@ -92,7 +93,7 @@ def _update(mu_pred, sigma_pred, y, mask, C, R, eye_n):
     S = symmetrize(S)
     PCt = einsum("bnm,bpm->bnp", sigma_pred, C)
     # gain via solve (reference :82-89); solve(S, PCt^T)^T
-    gain = jnp.swapaxes(jnp.linalg.solve(S, jnp.swapaxes(PCt, -1, -2)), -1, -2)
+    gain = jnp.swapaxes(solve_small(S, jnp.swapaxes(PCt, -1, -2)), -1, -2)
     gain = mask[:, None, None] * gain  # zero gain on missing frames (:92)
     mu = mu_pred + einsum("bnp,bp->bn", gain, resid)
     i_kc = eye_n - einsum("bnp,bpm->bnm", gain, C)
@@ -240,7 +241,7 @@ def lgssm_smooth_from_filter(fr: FilterResult) -> SmoothResult:
         # J = solve(sigma_pred^T, (sigma_filt A^T)^T)^T  (reference :229)
         sig_at = einsum("bij,bkj->bik", sig_f, A_next)  # sigma_f @ A^T
         J = jnp.swapaxes(
-            jnp.linalg.solve(jnp.swapaxes(sig_p_next, -1, -2), jnp.swapaxes(sig_at, -1, -2)),
+            solve_small(jnp.swapaxes(sig_p_next, -1, -2), jnp.swapaxes(sig_at, -1, -2)),
             -1, -2,
         )
         mu_s = mu_f + einsum("bij,bj->bi", J, mu_next_T - mu_p_next)

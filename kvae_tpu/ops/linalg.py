@@ -1,0 +1,44 @@
+"""Small-matrix batched solves tuned for TPU.
+
+XLA's batched LU (`jnp.linalg.solve`) is fast for n<=4 but falls off a cliff
+for n in (5..16) on TPU (measured: 29 ms vs 2 ms for 12,800 8x8 systems).
+`solve_small` unrolls pivot-free Gauss-Jordan elimination over the static
+matrix dimension — pure vectorized VPU ops, differentiable, exact to ~1e-7 of
+LU on the well-conditioned systems the LGSSM produces (PD covariances,
+near-identity I + C J combine denominators).
+
+No pivoting: only use on PD / diagonally-dominant systems (all LGSSM solves
+qualify; the reference also never pivots explicitly, relying on
+torch.linalg.solve over the same matrices).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_UNROLL_LIMIT = 16
+_LU_FAST_LIMIT = 4  # XLA's batched LU is already optimal for n <= 4 on TPU
+
+
+def solve_small(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Solve a @ x = b over trailing dims; a: [..., n, n], b: [..., n, k].
+
+    Rows are carried as a Python list of slices (no dynamic-update-slice ops:
+    DUS chains inside `associative_scan` + autodiff made XLA compile time
+    explode)."""
+    n = a.shape[-1]
+    if n <= _LU_FAST_LIMIT or n > _UNROLL_LIMIT:
+        return jnp.linalg.solve(a, b)
+    m = jnp.concatenate([a, b], axis=-1)
+    rows = [m[..., i, :] for i in range(n)]
+    for i in range(n):
+        rows[i] = rows[i] / rows[i][..., i:i + 1]
+        for j in range(n):
+            if j != i:
+                rows[j] = rows[j] - rows[j][..., i:i + 1] * rows[i]
+    return jnp.stack(rows, axis=-2)[..., n:]
+
+
+def solve_small_vec(a: jax.Array, b: jax.Array) -> jax.Array:
+    """solve_small for a single rhs vector b: [..., n]."""
+    return solve_small(a, b[..., None])[..., 0]

@@ -68,6 +68,12 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
         f"dataset: {len(train_loader.dataset)} sequences -> "
         f"{len(train_loader)} train + {len(val_loader)} val batches @ bs={tcfg.batch_size}"
     )
+    if len(train_loader) == 0 or len(val_loader) == 0:
+        raise ValueError(
+            f"empty loader: {len(train_loader)} train / {len(val_loader)} val "
+            f"batches — need at least batch_size={tcfg.batch_size} sequences per "
+            f"split (val split holds {int(dcfg.val_split * len(train_loader.dataset))})"
+        )
 
     sample_batch = next(iter(train_loader))["images"]
     model, state, tx = create_train_state(cfg, tcfg, sample_batch)
