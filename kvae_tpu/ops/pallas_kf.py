@@ -84,18 +84,14 @@ def _chol_solve(L, b, p):
 
 
 def _filter_kernel(
-    mu0_ref, sig0_ref, r_ref,                      # SMEM
+    r_ref,                                               # SMEM
+    mu0_ref, sig0_ref,                                   # VMEM tiles (batch-varying)
     y_ref, u_ref, mask_ref, a_ref, b_ref, c_ref, q_ref,  # VMEM in
-    muf_ref, sigf_ref, mup_ref, sigp_ref,          # VMEM out
+    muf_ref, sigf_ref, mup_ref, sigp_ref,                # VMEM out
     *, T: int, n: int, m: int, p: int,
 ):
-    shape = (_SUBLANES, _LANES)
-
-    mu = jnp.stack([jnp.full(shape, mu0_ref[0, i]) for i in range(n)])
-    sigma = jnp.stack([
-        jnp.stack([jnp.full(shape, sig0_ref[i, j]) for j in range(n)])
-        for i in range(n)
-    ])
+    mu = mu0_ref[...]       # [n,8,128]
+    sigma = sig0_ref[...]   # [n,n,8,128]
     R = [[r_ref[i, j] for j in range(p)] for i in range(p)]
 
     def body(t, carry):
@@ -178,6 +174,61 @@ def _from_tiles(x: jax.Array, b: int) -> jax.Array:
     return x[:b]
 
 
+# VMEM budget for one batch tile's whole input+output working set; chunk the
+# time axis so the kernel never exceeds it (the carry crosses chunks).
+_VMEM_BUDGET_BYTES = 9 * 1024 * 1024
+
+
+def _chunk_len(T: int, n: int, m: int, p: int) -> int:
+    tiles_per_step = (
+        p + m + 1 + n * n + n * m + p * n + n * n     # inputs
+        + n + n * n + n + n * n                        # outputs
+    )
+    bytes_per_step = tiles_per_step * _SUBLANES * _LANES * 4
+    return max(1, min(T, _VMEM_BUDGET_BYTES // bytes_per_step))
+
+
+def _filter_pallas_chunk(y_t, u_t, mask_t, A_t, B_t, C_t, Q_t,
+                         mu0_t, sig0_t, R, *, n_tiles, interpret):
+    """One pallas_call over a [Tc, ..., Sp, 128] tile chunk with batch-varying
+    initial state tiles."""
+    Tc = y_t.shape[0]
+    p = y_t.shape[1]
+    m = u_t.shape[1]
+    n = A_t.shape[1]
+    sp = _SUBLANES
+    spd = y_t.shape[-2]  # total sublane groups
+
+    def vspec(*dims, t=True):
+        block = ((Tc,) if t else ()) + dims + (sp, _LANES)
+        zeros = (0,) * ((1 if t else 0) + len(dims))
+        return pl.BlockSpec(
+            block, lambda g, _z=zeros: _z + (g, 0), memory_space=pltpu.VMEM
+        )
+
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    out_shape = [
+        jax.ShapeDtypeStruct((Tc, n, spd, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((Tc, n, n, spd, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((Tc, n, spd, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((Tc, n, n, spd, _LANES), jnp.float32),
+    ]
+    kernel = functools.partial(_filter_kernel, T=Tc, n=n, m=m, p=p)
+    return pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            smem((p, p), lambda g: (0, 0)),
+            vspec(n, t=False), vspec(n, n, t=False),
+            vspec(p), vspec(m), vspec(), vspec(n, n), vspec(n, m),
+            vspec(p, n), vspec(n, n),
+        ],
+        out_specs=[vspec(n), vspec(n, n), vspec(n), vspec(n, n)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(R, mu0_t, sig0_t, y_t, u_t, mask_t, A_t, B_t, C_t, Q_t)
+
+
 def _filter_pallas_raw(y, u, mask, A, B, C, Q, mu0, sigma0, R, *, interpret):
     batch, T, p = y.shape
     n = A.shape[-1]
@@ -192,41 +243,22 @@ def _filter_pallas_raw(y, u, mask, A, B, C, Q, mu0, sigma0, R, *, interpret):
     B_t = _to_tiles(B, b_pad)
     C_t = _to_tiles(C, b_pad)
     Q_t = _to_tiles(Q, b_pad)
+    # batch-varying initial state -> tiles [n,Sp,128] / [n,n,Sp,128]
+    mu0_t = _to_tiles(jnp.broadcast_to(mu0, (batch, n)), b_pad)
+    sig0_t = _to_tiles(jnp.broadcast_to(sigma0, (batch, n, n)), b_pad)
 
-    sp = _SUBLANES  # sublane groups per grid cell
-
-    def vspec(*dims):
-        block = (T,) + dims + (sp, _LANES)
-        zeros = (0,) * (1 + len(dims))
-        return pl.BlockSpec(
-            block, lambda g, _z=zeros: _z + (g, 0), memory_space=pltpu.VMEM
+    ct = _chunk_len(T, n, m, p)
+    outs = []
+    for start in range(0, T, ct):
+        sl = slice(start, min(start + ct, T))
+        muf, sigf, mup, sigp = _filter_pallas_chunk(
+            y_t[sl], u_t[sl], mask_t[sl], A_t[sl], B_t[sl], C_t[sl], Q_t[sl],
+            mu0_t, sig0_t, R, n_tiles=n_tiles, interpret=interpret,
         )
+        outs.append((muf, sigf, mup, sigp))
+        mu0_t, sig0_t = muf[-1], sigf[-1]  # carry into the next chunk
 
-    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
-    out_shape = [
-        jax.ShapeDtypeStruct((T, n, b_pad // _LANES, _LANES), jnp.float32),
-        jax.ShapeDtypeStruct((T, n, n, b_pad // _LANES, _LANES), jnp.float32),
-        jax.ShapeDtypeStruct((T, n, b_pad // _LANES, _LANES), jnp.float32),
-        jax.ShapeDtypeStruct((T, n, n, b_pad // _LANES, _LANES), jnp.float32),
-    ]
-    kernel = functools.partial(_filter_kernel, T=T, n=n, m=m, p=p)
-    muf, sigf, mup, sigp = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            smem((1, n), lambda g: (0, 0)),
-            smem((n, n), lambda g: (0, 0)),
-            smem((p, p), lambda g: (0, 0)),
-            vspec(p), vspec(m), vspec(), vspec(n, n), vspec(n, m),
-            vspec(p, n), vspec(n, n),
-        ],
-        out_specs=[vspec(n), vspec(n, n), vspec(n), vspec(n, n)],
-        out_shape=out_shape,
-        interpret=interpret,
-    )(
-        mu0.reshape(1, n), sigma0, R,
-        y_t, u_t, mask_t, A_t, B_t, C_t, Q_t,
-    )
+    muf, sigf, mup, sigp = (jnp.concatenate(parts, axis=0) for parts in zip(*outs))
     return (
         _from_tiles(muf, batch), _from_tiles(sigf, batch),
         _from_tiles(mup, batch), _from_tiles(sigp, batch),
@@ -299,25 +331,24 @@ def lgssm_filter_pallas(
 # ---------------------------------------------------------------------------
 
 def _rts_kernel(
-    muf_ref, sigf_ref, mup_ref, sigp_ref, a_ref,   # VMEM in
-    mus_ref, sigs_ref,                              # VMEM out
+    muf_ref, sigf_ref, mupn_ref, sigpn_ref, an_ref,  # VMEM in (next-step-shifted)
+    cmu_ref, csig_ref,                                # VMEM in: carry (smoothed at chunk end)
+    mus_ref, sigs_ref,                                # VMEM out
     *, T: int, n: int,
 ):
-    """Reverse RTS recursion, all tiles VMEM-resident. Mirrors
-    ops/lgssm.lgssm_smooth_from_filter (reference kalman_filter.py:204-279)."""
-    mu_last = muf_ref[T - 1]
-    sig_last = sigf_ref[T - 1]
-    mus_ref[T - 1] = mu_last
-    sigs_ref[T - 1] = sig_last
+    """Reverse RTS recursion over a time chunk, tiles VMEM-resident. Mirrors
+    ops/lgssm.lgssm_smooth_from_filter (reference kalman_filter.py:204-279).
+    Index t here covers recursion steps only (the wrapper writes the T-1
+    identity element); *_n refs are pre-shifted to hold the t+1 values."""
 
     def body(step, carry):
         mu_s, sig_s = carry                     # smoothed at t+1
-        t = T - 2 - step
-        A_next = a_ref[t + 1]                   # [n,n,8,128]
+        t = T - 1 - step
+        A_next = an_ref[t]                      # [n,n,8,128]
         mu_f = muf_ref[t]
         sig_f = sigf_ref[t]
-        mu_p = mup_ref[t + 1]
-        sig_p = sigp_ref[t + 1]
+        mu_p = mupn_ref[t]
+        sig_p = sigpn_ref[t]
 
         # PFt = sig_f A^T ; J = PFt sig_p^{-1} via unrolled Cholesky solve
         pft = [[sum(sig_f[i, j] * A_next[k, j] for j in range(n)) for k in range(n)]
@@ -345,37 +376,77 @@ def _rts_kernel(
         sigs_ref[t] = sig_arr
         return mu_arr, sig_arr
 
-    jax.lax.fori_loop(0, T - 1, body, (mu_last, sig_last))
+    jax.lax.fori_loop(0, T, body, (cmu_ref[...], csig_ref[...]))
+
+
+def _rts_chunk_len(T: int, n: int) -> int:
+    tiles_per_step = 2 * n + 4 * n * n + n + n * n  # in (5 arrays) + out (2)
+    bytes_per_step = tiles_per_step * _SUBLANES * _LANES * 4
+    return max(1, min(T, _VMEM_BUDGET_BYTES // bytes_per_step))
+
+
+def _rts_pallas_chunk(muf_c, sigf_c, mupn_c, sigpn_c, an_c, cmu, csig,
+                      *, n_tiles, interpret):
+    Tc = muf_c.shape[0]
+    n = muf_c.shape[1]
+    sp = _SUBLANES
+    spd = muf_c.shape[-2]
+
+    def vspec(*dims, t=True):
+        block = ((Tc,) if t else ()) + dims + (sp, _LANES)
+        zeros = (0,) * ((1 if t else 0) + len(dims))
+        return pl.BlockSpec(
+            block, lambda g, _z=zeros: _z + (g, 0), memory_space=pltpu.VMEM
+        )
+
+    out_shape = [
+        jax.ShapeDtypeStruct((Tc, n, spd, _LANES), jnp.float32),
+        jax.ShapeDtypeStruct((Tc, n, n, spd, _LANES), jnp.float32),
+    ]
+    return pl.pallas_call(
+        functools.partial(_rts_kernel, T=Tc, n=n),
+        grid=(n_tiles,),
+        in_specs=[
+            vspec(n), vspec(n, n), vspec(n), vspec(n, n), vspec(n, n),
+            vspec(n, t=False), vspec(n, n, t=False),
+        ],
+        out_specs=[vspec(n), vspec(n, n)],
+        out_shape=out_shape,
+        interpret=interpret,
+    )(muf_c, sigf_c, mupn_c, sigpn_c, an_c, cmu, csig)
 
 
 def _rts_pallas_raw(muf, sigf, mup, sigp, A, *, interpret):
     batch, T, n = muf.shape
     b_pad = -(-batch // _TILE_B) * _TILE_B
     n_tiles = b_pad // _TILE_B
-    sp = _SUBLANES
 
-    def vspec(*dims):
-        block = (T,) + dims + (sp, _LANES)
-        zeros = (0,) * (1 + len(dims))
-        return pl.BlockSpec(
-            block, lambda g, _z=zeros: _z + (g, 0), memory_space=pltpu.VMEM
+    muf_t = _to_tiles(muf, b_pad)
+    sigf_t = _to_tiles(sigf, b_pad)
+    mup_t = _to_tiles(mup, b_pad)
+    sigp_t = _to_tiles(sigp, b_pad)
+    A_t = _to_tiles(A, b_pad)
+
+    # carry starts at the filtered posterior of the last step
+    cmu, csig = muf_t[T - 1], sigf_t[T - 1]
+    ct = _rts_chunk_len(T, n)
+    # recursion covers indices [0, T-1); walk chunks from the end backwards
+    starts = list(range(0, T - 1, ct))
+    parts = []
+    for start in reversed(starts):
+        end = min(start + ct, T - 1)
+        mus_c, sigs_c = _rts_pallas_chunk(
+            muf_t[start:end], sigf_t[start:end],
+            mup_t[start + 1:end + 1], sigp_t[start + 1:end + 1],
+            A_t[start + 1:end + 1],
+            cmu, csig, n_tiles=n_tiles, interpret=interpret,
         )
+        parts.append((mus_c, sigs_c))
+        cmu, csig = mus_c[0], sigs_c[0]
 
-    out_shape = [
-        jax.ShapeDtypeStruct((T, n, b_pad // _LANES, _LANES), jnp.float32),
-        jax.ShapeDtypeStruct((T, n, n, b_pad // _LANES, _LANES), jnp.float32),
-    ]
-    mus, sigs = pl.pallas_call(
-        functools.partial(_rts_kernel, T=T, n=n),
-        grid=(n_tiles,),
-        in_specs=[vspec(n), vspec(n, n), vspec(n), vspec(n, n), vspec(n, n)],
-        out_specs=[vspec(n), vspec(n, n)],
-        out_shape=out_shape,
-        interpret=interpret,
-    )(
-        _to_tiles(muf, b_pad), _to_tiles(sigf, b_pad),
-        _to_tiles(mup, b_pad), _to_tiles(sigp, b_pad), _to_tiles(A, b_pad),
-    )
+    parts.reverse()  # back to forward time order
+    mus = jnp.concatenate([p[0] for p in parts] + [muf_t[T - 1:T]], axis=0)
+    sigs = jnp.concatenate([p[1] for p in parts] + [sigf_t[T - 1:T]], axis=0)
     return _from_tiles(mus, batch), _from_tiles(sigs, batch)
 
 

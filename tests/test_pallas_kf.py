@@ -103,6 +103,27 @@ def test_pallas_gradients_match_scan(rng):
     np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_scan), rtol=1e-3, atol=1e-5)
 
 
+def test_pallas_time_chunking(rng):
+    """Long-T inputs split into VMEM-sized chunks with the carry crossing
+    chunk boundaries; results must equal the scan exactly."""
+    from kvae_tpu.ops import pallas_kf
+
+    s = _random_lgssm(rng, batch=3, T=24, n=8, p=4, m=8)
+    params, dyn = _params(s), _to_seq_dynamics(s, 3)
+    y, u = jnp.asarray(s["y"]), jnp.asarray(s["u"])
+    assert pallas_kf._chunk_len(24, 8, 8, 4) < 24  # chunking actually engages
+    mask = jnp.asarray((rng.uniform(size=(3, 24)) > 0.3).astype(np.float32))
+    fr_pal = lgssm_filter_pallas(y, u, mask, params, dynamics=dyn, interpret=True)
+    fr_scan = lgssm_filter(y, u, mask, params, dynamics=dyn)
+    np.testing.assert_allclose(
+        np.asarray(fr_pal.mu_filt), np.asarray(fr_scan.mu_filt), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(fr_pal.sigma_filt), np.asarray(fr_scan.sigma_filt),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
 def test_kvae_with_pallas_filter(rng):
     """filter_impl='pallas' end-to-end through the model."""
     from kvae_tpu.config import KVAEConfig
