@@ -20,11 +20,27 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 
+def _torch_rnn_init(hidden: int):
+    """torch.nn.LSTM/GRU default: every weight and bias ~ U(-k, k) with
+    k = 1/sqrt(hidden). The flax defaults (lecun normal inputs, orthogonal
+    recurrent) are ~5x larger at these sizes and measurably destabilize the
+    alpha-LSTM once it unfreezes in phase 'all' (see PARITY.md)."""
+    k = 1.0 / (hidden ** 0.5)
+
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, minval=-k, maxval=k)
+
+    return init
+
+
 def lstm_params(module: nn.Module, name: str, in_dim: int, hidden: int):
     """Create fused LSTM gate parameters on `module` (call from setup)."""
-    wi = module.param(f"{name}_wi", nn.initializers.lecun_normal(), (in_dim, 4 * hidden))
-    wh = module.param(f"{name}_wh", nn.initializers.orthogonal(), (hidden, 4 * hidden))
-    b = module.param(f"{name}_b", nn.initializers.zeros, (4 * hidden,))
+    init = _torch_rnn_init(hidden)
+    wi = module.param(f"{name}_wi", init, (in_dim, 4 * hidden))
+    wh = module.param(f"{name}_wh", init, (hidden, 4 * hidden))
+    # torch carries two bias vectors (bias_ih + bias_hh); their sum is what
+    # the cell sees, so one U(-k,k)+U(-k,k)-distributed vector is equivalent
+    b = module.param(f"{name}_b", init, (4 * hidden,))
     return {"wi": wi, "wh": wh, "b": b}
 
 
@@ -48,10 +64,11 @@ def gru_params(module: nn.Module, name: str, in_dim: int, hidden: int):
     """Create fused GRU gate parameters on `module` (call from setup).
     Torch convention: separate input/hidden biases because the candidate gate
     applies r *inside* the hidden contribution."""
-    wi = module.param(f"{name}_wi", nn.initializers.lecun_normal(), (in_dim, 3 * hidden))
-    wh = module.param(f"{name}_wh", nn.initializers.orthogonal(), (hidden, 3 * hidden))
-    bi = module.param(f"{name}_bi", nn.initializers.zeros, (3 * hidden,))
-    bh = module.param(f"{name}_bh", nn.initializers.zeros, (3 * hidden,))
+    init = _torch_rnn_init(hidden)
+    wi = module.param(f"{name}_wi", init, (in_dim, 3 * hidden))
+    wh = module.param(f"{name}_wh", init, (hidden, 3 * hidden))
+    bi = module.param(f"{name}_bi", init, (3 * hidden,))
+    bh = module.param(f"{name}_bh", init, (3 * hidden,))
     return {"wi": wi, "wh": wh, "bi": bi, "bh": bh}
 
 
