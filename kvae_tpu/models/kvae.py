@@ -112,6 +112,10 @@ class KVAE(nn.Module):
             from kvae_tpu.ops.pallas_kf import lgssm_smooth_pallas
 
             return lgssm_smooth_pallas(a, u, mask, params, dynamics=dyn_seq)
+        if impl == "pallas_adjoint":
+            from kvae_tpu.ops.pallas_kf_bwd import lgssm_smooth_pallas_adjoint
+
+            return lgssm_smooth_pallas_adjoint(a, u, mask, params, dyn_seq)
         return lgssm_smooth(a, u, mask, params, dynamics=dyn_seq)
 
     # ------------------------------------------------------------------

@@ -83,6 +83,39 @@ def _chol_solve(L, b, p):
     return x
 
 
+def _ge_solve(M, bs, k):
+    """Solve M x = b for each length-k tile rhs in `bs` via pivot-free
+    Gauss-Jordan. Unlike Cholesky this tolerates indefinite (but invertible)
+    matrices — during training the learned per-regime Q is unconstrained and
+    sigma_pred can drift indefinite (the scan path's LU copes; sqrt-based
+    factorizations NaN).
+
+    Returns a list of solutions, each a length-k tile list."""
+    nrhs = len(bs)
+    rows = [
+        [M[i][j] for j in range(k)] + [bs[r][i] for r in range(nrhs)]
+        for i in range(k)
+    ]
+    for i in range(k):
+        inv = 1.0 / rows[i][i]
+        rows[i] = [v * inv for v in rows[i]]
+        for j in range(k):
+            if j != i:
+                f = rows[j][i]
+                rows[j] = [rows[j][c] - f * rows[i][c] for c in range(k + nrhs)]
+    return [[rows[i][k + r] for i in range(k)] for r in range(nrhs)]
+
+
+def _ge_inv(M, k):
+    """M^{-1} as a [k][k] tile matrix via Gauss-Jordan column solves."""
+    one = jnp.ones_like(M[0][0])
+    zero = jnp.zeros_like(M[0][0])
+    eye_cols = [[one if i == j else zero for i in range(k)] for j in range(k)]
+    cols = _ge_solve(M, eye_cols, k)
+    # cols[j][i] = (M^{-1})[i][j]
+    return [[cols[j][i] for j in range(k)] for i in range(k)]
+
+
 def _filter_kernel(
     r_ref,                                               # SMEM
     mu0_ref, sig0_ref,                                   # VMEM tiles (batch-varying)
@@ -125,11 +158,11 @@ def _filter_kernel(
               for r in range(p)] for q in range(p)]
         S = [[0.5 * (S[q][r] + S[r][q]) for r in range(p)] for q in range(p)]
 
-        # gain K = sigma_pred C^T S^{-1}, masked
+        # gain K = sigma_pred C^T S^{-1}, masked (GE solve: S may drift
+        # indefinite through the learned Q during training)
         pct = [[sum(sigma_pred[i][k] * C[q, k] for k in range(n)) for q in range(p)]
                for i in range(n)]
-        L = _chol_tiles(S, p)
-        K = [_chol_solve(L, pct[i], p) for i in range(n)]  # [n][p]
+        K = _ge_solve(S, pct, p)  # [n][p]
         K = [[mk * K[i][q] for q in range(p)] for i in range(n)]
 
         # update: Joseph form
@@ -350,12 +383,11 @@ def _rts_kernel(
         mu_p = mupn_ref[t]
         sig_p = sigpn_ref[t]
 
-        # PFt = sig_f A^T ; J = PFt sig_p^{-1} via unrolled Cholesky solve
+        # PFt = sig_f A^T ; J = PFt sig_p^{-1} via Gauss-Jordan solve
         pft = [[sum(sig_f[i, j] * A_next[k, j] for j in range(n)) for k in range(n)]
                for i in range(n)]
         S = [[sig_p[i, j] for j in range(n)] for i in range(n)]
-        L = _chol_tiles(S, n)
-        J = [_chol_solve(L, pft[i], n) for i in range(n)]
+        J = _ge_solve(S, pft, n)
 
         mu_new = [
             mu_f[i] + sum(J[i][j] * (mu_s[j] - mu_p[j]) for j in range(n))
