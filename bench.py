@@ -37,7 +37,7 @@ def main():
 
     cfg = KVAEConfig(
         dynamics_model="lstm", num_modes=3, a_dim=2, z_dim=4,
-        out_distr="bernoulli",
+        out_distr="bernoulli", filter_impl="auto",
     )
     tcfg = TrainingConfig(batch_size=32, T=20)
     rng = np.random.default_rng(0)

@@ -127,6 +127,59 @@ class LSTMAlphaDynamics(nn.Module):
         Q = jnp.broadcast_to(Q_fixed, (batch, self.n, self.n))
         return carry, (A, B, C, Q, alpha)
 
+    def sequence(self, a_seq: jax.Array, Q_fixed: jax.Array):
+        """Whole-sequence dynamics for the UNMASKED filter.
+
+        With an all-ones mask the filter's pseudo-observation feedback
+        reduces to the observed sequence itself (reference
+        kalman_filter.py:183-185 with m=1, zeros at t=0, :142), so the
+        alpha-LSTM input is just [0, a_0, ..., a_{T-2}] — independent of the
+        filter state. The two recursions decouple and the per-step (A,B,C,Q)
+        can be precomputed for the whole sequence, unlocking the fused
+        sequence-dynamics engines (pallas / pallas_adjoint / assoc) for the
+        LSTM-dynamics model. Bitwise-equivalent to stepping `step` inside the
+        filter scan with mask=1 (tests/test_models.py gates this).
+
+        Args:
+            a_seq: [B,T,p] encoder latents (the observed sequence).
+            Q_fixed: [n,n] fixed process noise.
+        Returns:
+            (SequenceDynamics with [B,T,...] leaves, alpha [B,T,K]).
+        """
+        batch, T, _ = a_seq.shape
+        dtype = a_seq.dtype
+        if self.K == 1:
+            alpha = jnp.ones((batch, T, 1), dtype=dtype)
+            seq = SequenceDynamics(
+                A=jnp.broadcast_to(self.A[0], (batch, T, self.n, self.n)),
+                B=jnp.broadcast_to(self.B[0], (batch, T, self.n, self.m)),
+                C=jnp.broadcast_to(self.C[0], (batch, T, self.p, self.n)),
+                Q=jnp.broadcast_to(Q_fixed, (batch, T, self.n, self.n)),
+            )
+            return seq, alpha
+
+        y_in = jnp.concatenate(
+            [jnp.zeros((batch, 1, self.p), dtype=dtype), a_seq[:, :-1]], axis=1
+        )
+
+        def body(carry, x):
+            carry, h = rnn.lstm_step(self.lstm, carry, x)
+            return carry, h
+
+        _, h_seq = jax.lax.scan(
+            body, rnn.lstm_init_carry(batch, self.hidden, dtype),
+            jnp.swapaxes(y_in, 0, 1),
+        )
+        h_seq = jnp.swapaxes(h_seq, 0, 1)  # [B,T,H]
+        alpha = jax.nn.softmax(h_seq @ self.head_w + self.head_b, axis=-1)
+        seq = SequenceDynamics(
+            A=einsum("btk,kij->btij", alpha, self.A),
+            B=einsum("btk,knm->btnm", alpha, self.B),
+            C=einsum("btk,kpn->btpn", alpha, self.C),
+            Q=jnp.broadcast_to(Q_fixed, (batch, T, self.n, self.n)),
+        )
+        return seq, alpha
+
 
 class MarkovRegimePosterior(nn.Module):
     """BiGRU over a_seq -> transition logits [B,T,K,K] + init logits [B,K]

@@ -101,9 +101,13 @@ class KVAE(nn.Module):
 
     def _smooth_seq(self, a, u, mask, params, dyn_seq):
         """Dispatch on config.filter_impl for sequence-dynamics smoothing:
-        'scan' (sequential), 'assoc' (O(log T) parallel-in-time), or
-        'pallas' (fused VMEM kernel filter + scan smoother)."""
+        'scan' (sequential), 'assoc' (O(log T) parallel-in-time),
+        'pallas' (fused VMEM kernel filter + scan smoother),
+        'pallas_adjoint' (fused forward + hand-derived backward kernels), or
+        'auto' (pallas_adjoint on a TPU backend, scan elsewhere)."""
         impl = self.config.filter_impl.lower()
+        if impl == "auto":
+            impl = "pallas_adjoint" if jax.default_backend() == "tpu" else "scan"
         if impl == "assoc":
             from kvae_tpu.ops.assoc import lgssm_smooth_assoc
 
@@ -135,6 +139,7 @@ class KVAE(nn.Module):
         a, a_mu, a_var = self.encode_sequence(x)
         if u is None:
             u = jnp.zeros((b, t, cfg.u_dim), dtype=x.dtype)
+        unmasked = mask is None  # static: all frames observed
         if mask is None:
             mask = jnp.ones((b, t), dtype=x.dtype)
 
@@ -147,17 +152,29 @@ class KVAE(nn.Module):
             sr = self._smooth_seq(a, u, mask, params, dyn_seq)
         else:
             log_q = log_p = jnp.zeros((b, t), dtype=x.dtype)
-            carry0 = self.dynamics.init_carry(b)
-            q_fixed = params.Q
+            if unmasked:
+                # All frames observed (the training path): the alpha-LSTM's
+                # feedback input reduces to the observed sequence, so the two
+                # recursions decouple — precompute per-step dynamics for the
+                # whole sequence and use the fused sequence-dynamics engines
+                # (LSTMAlphaDynamics.sequence docstring has the derivation).
+                dyn_seq, state_probs = self.dynamics.sequence(a, params.Q)
+                sr = self._smooth_seq(a, u, mask, params, dyn_seq)
+            else:
+                # Masked frames couple the LSTM to the filter's own masked
+                # prediction feedback (reference kalman_filter.py:159,183-185)
+                # — the recursions are inseparable; step inside the scan.
+                carry0 = self.dynamics.init_carry(b)
+                q_fixed = params.Q
 
-            def step(carry, y_prev):
-                return self.dynamics.step(carry, y_prev, q_fixed)
+                def step(carry, y_prev):
+                    return self.dynamics.step(carry, y_prev, q_fixed)
 
-            sr = lgssm_smooth(
-                a, u, mask, params,
-                step_dynamics=step, step_dynamics_carry=carry0,
-            )
-            state_probs = sr.filter_result.aux  # alpha weights [B,T,K]
+                sr = lgssm_smooth(
+                    a, u, mask, params,
+                    step_dynamics=step, step_dynamics_carry=carry0,
+                )
+                state_probs = sr.filter_result.aux  # alpha weights [B,T,K]
 
         x_logits = self.decode_sequence(a)
         fr = sr.filter_result

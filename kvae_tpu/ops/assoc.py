@@ -50,7 +50,10 @@ def _solve(mat, rhs):
     return solve_small(mat, rhs)
 
 
-def _filter_elements(y, u, mask, params: LGSSMParams, dyn: SequenceDynamics):
+def _generic_filter_elements(y, u, mask, params: LGSSMParams, dyn: SequenceDynamics):
+    """Per-step filtering elements for interior steps (t >= 1). Valid for any
+    contiguous chunk of the sequence — the sequence-parallel path
+    (parallel/seqpar.py) builds these locally per time shard."""
     B, T, p = y.shape
     n = params.mu0.shape[0]
     dtype = y.dtype
@@ -61,7 +64,6 @@ def _filter_elements(y, u, mask, params: LGSSMParams, dyn: SequenceDynamics):
     c = einsum("btij,btj->bti", Bm, u)  # control offset [B,T,n]
     m = mask[..., None]                      # [B,T,1]
 
-    # ---- generic elements (t >= 1) ----
     S = einsum("btpi,btij,btqj->btpq", H, Q, H) + R          # [B,T,p,p]
     S = symmetrize(S)
     QHt = einsum("btij,btpj->btip", Q, H)                    # [B,T,n,p]
@@ -80,20 +82,28 @@ def _filter_elements(y, u, mask, params: LGSSMParams, dyn: SequenceDynamics):
     HtSinvH = einsum("btpi,btpj->btij", H, Sinv_H)
     J_e = m[..., None] * einsum("btki,btkl,btlj->btij", F, HtSinvH, F)
     C_e = symmetrize(C_e)
+    return _FilterElem(A_e, b_e, C_e, J_e, eta_e)
 
-    # ---- first element absorbs the prior ----
+
+def _prior_first_element(y0, mask0, c0, F0, H0, Q0, params: LGSSMParams):
+    """The global t=0 element, which absorbs the prior (m0, P0). Inputs are
+    the t=0 slices: y0 [B,p], mask0 [B], c0 [B,n] (= B_0 u_0), F0/H0/Q0."""
+    B, p = y0.shape
+    n = params.mu0.shape[0]
+    dtype = y0.dtype
+    eye = jnp.eye(n, dtype=dtype)
+    R = params.R.astype(dtype)
+
     m0 = jnp.broadcast_to(params.mu0.astype(dtype), (B, n))
     P0 = jnp.broadcast_to(params.sigma0.astype(dtype), (B, n, n))
-    m1p = einsum("bij,bj->bi", F[:, 0], m0) + c[:, 0]
-    P1p = symmetrize(
-        einsum("bij,bjk,blk->bil", F[:, 0], P0, F[:, 0]) + Q[:, 0]
-    )
-    S1 = symmetrize(einsum("bpi,bij,bqj->bpq", H[:, 0], P1p, H[:, 0]) + R)
-    PHt1 = einsum("bij,bpj->bip", P1p, H[:, 0])
+    m1p = einsum("bij,bj->bi", F0, m0) + c0
+    P1p = symmetrize(einsum("bij,bjk,blk->bil", F0, P0, F0) + Q0)
+    S1 = symmetrize(einsum("bpi,bij,bqj->bpq", H0, P1p, H0) + R)
+    PHt1 = einsum("bij,bpj->bip", P1p, H0)
     K1 = jnp.swapaxes(_solve(S1, jnp.swapaxes(PHt1, -1, -2)), -1, -2)
-    K1 = mask[:, 0, None, None] * K1
-    resid1 = y[:, 0] - einsum("bpi,bi->bp", H[:, 0], m1p)
-    I_KH1 = eye - einsum("bip,bpj->bij", K1, H[:, 0])
+    K1 = mask0[:, None, None] * K1
+    resid1 = y0 - einsum("bpi,bi->bp", H0, m1p)
+    I_KH1 = eye - einsum("bip,bpj->bij", K1, H0)
     b1 = m1p + einsum("bip,bp->bi", K1, resid1)
     # Joseph form for the first covariance (parity with the sequential path)
     C1 = symmetrize(
@@ -103,13 +113,19 @@ def _filter_elements(y, u, mask, params: LGSSMParams, dyn: SequenceDynamics):
     A1 = jnp.zeros((B, n, n), dtype)
     eta1 = jnp.zeros((B, n), dtype)
     J1 = jnp.zeros((B, n, n), dtype)
+    return _FilterElem(A1, b1, C1, J1, eta1)
 
-    A_e = A_e.at[:, 0].set(A1)
-    b_e = b_e.at[:, 0].set(b1)
-    C_e = C_e.at[:, 0].set(C1)
-    eta_e = eta_e.at[:, 0].set(eta1)
-    J_e = J_e.at[:, 0].set(J1)
-    return _FilterElem(A_e, b_e, C_e, J_e, eta_e)
+
+def _filter_elements(y, u, mask, params: LGSSMParams, dyn: SequenceDynamics):
+    elems = _generic_filter_elements(y, u, mask, params, dyn)
+    first = _prior_first_element(
+        y[:, 0], mask[:, 0],
+        einsum("bij,bj->bi", dyn.B[:, 0], u[:, 0]),
+        dyn.A[:, 0], dyn.C[:, 0], dyn.Q[:, 0], params,
+    )
+    return _FilterElem(*(
+        e.at[:, 0].set(f) for e, f in zip(elems, first)
+    ))
 
 
 def _filter_combine(ei: _FilterElem, ej: _FilterElem) -> _FilterElem:

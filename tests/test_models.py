@@ -245,6 +245,45 @@ def test_kvae_grads_flow(rng, dynamics_model):
         assert any(component in p for p in nonzero_paths), component
 
 
+def test_lstm_decoupled_matches_coupled(rng):
+    """With all frames observed, the whole-sequence alpha-LSTM fast path
+    (LSTMAlphaDynamics.sequence + sequence-dynamics filter) must match the
+    coupled step-inside-the-filter-scan path exactly — values, alphas, and
+    parameter gradients. mask=None triggers the fast path; an explicit
+    all-ones mask keeps the coupled path."""
+    cfg = _cfg(dynamics_model="lstm")
+    x = _x(rng)
+    model, variables = _init_kvae(cfg, x)
+    rngs = {"sample": jax.random.PRNGKey(3), "gumbel": jax.random.PRNGKey(4)}
+    ones = jnp.ones((B, T), jnp.float32)
+
+    def run(params, mask):
+        losses, outputs = model.apply(
+            {"params": params}, x, mask=mask, tau=jnp.asarray(1.0),
+            beta=jnp.asarray(1.0), train=True, rngs=rngs,
+            method=KVAE.forward_and_loss,
+        )
+        return losses["loss"], outputs
+
+    (l_fast, out_fast) = run(variables["params"], None)
+    (l_coup, out_coup) = run(variables["params"], ones)
+    np.testing.assert_allclose(float(l_fast), float(l_coup), rtol=1e-6)
+    for k in ("mus_filt", "Sigmas_filt", "mus_smooth", "state_probs", "A", "C"):
+        np.testing.assert_allclose(
+            np.asarray(out_fast[k]), np.asarray(out_coup[k]), rtol=1e-5,
+            atol=1e-6, err_msg=k,
+        )
+
+    g_fast = jax.grad(lambda p: run(p, None)[0])(variables["params"])
+    g_coup = jax.grad(lambda p: run(p, ones)[0])(variables["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6
+        ),
+        g_fast, g_coup,
+    )
+
+
 def test_kvae_impute_contract(rng):
     cfg = _cfg(dynamics_model="switching")
     x = _x(rng)
