@@ -38,6 +38,56 @@ def log_gaussian(x: jax.Array, mean: jax.Array, var: jax.Array) -> jax.Array:
     return -0.5 * _LOG_2PI - 0.5 * jnp.log(var) - jnp.square(x - mean) / (2.0 * var)
 
 
+_UNROLL_LIMIT = 16  # same rationale as linalg.solve_small
+
+
+def _cholesky_unrolled(sigma: jax.Array) -> jax.Array:
+    """Cholesky-Banachiewicz unrolled over the static n (n <= 16): pure
+    vectorized VPU ops instead of XLA's loop-lowered `cholesky`, which
+    dominates the ELBO cost for the LGSSM's tiny (n<=8) batched matrices.
+    No clamping — an indefinite input yields NaN entries exactly like
+    `jnp.linalg.cholesky` (safe_cholesky's finite-pick depends on that)."""
+    n = sigma.shape[-1]
+    L = [[None] * n for _ in range(n)]
+    for i in range(n):
+        s = sigma[..., i, i]
+        for k in range(i):
+            s = s - L[i][k] * L[i][k]
+        L[i][i] = jnp.sqrt(s)
+        inv = 1.0 / L[i][i]
+        for j in range(i + 1, n):
+            v = sigma[..., j, i]
+            for k in range(i):
+                v = v - L[j][k] * L[i][k]
+            L[j][i] = v * inv
+    zero = jnp.zeros_like(sigma[..., 0, 0])
+    rows = [
+        jnp.stack([L[i][j] if j <= i else zero for j in range(n)], axis=-1)
+        for i in range(n)
+    ]
+    return jnp.stack(rows, axis=-2)
+
+
+def cholesky_small(sigma: jax.Array) -> jax.Array:
+    """Batched Cholesky, unrolled for small n (TPU-fast), XLA otherwise."""
+    if sigma.shape[-1] <= _UNROLL_LIMIT:
+        return _cholesky_unrolled(sigma)
+    return jnp.linalg.cholesky(sigma)
+
+
+def _tri_solve_unrolled(L: jax.Array, b: jax.Array) -> jax.Array:
+    """Forward substitution L x = b unrolled over static n; L [..., n, n]
+    lower-triangular, b [..., n]."""
+    n = b.shape[-1]
+    x = [None] * n
+    for i in range(n):
+        v = b[..., i]
+        for k in range(i):
+            v = v - L[..., i, k] * x[k]
+        x[i] = v / L[..., i, i]
+    return jnp.stack(x, axis=-1)
+
+
 def safe_cholesky(
     sigma: jax.Array,
     jitter_init: float = 1e-6,
@@ -61,7 +111,7 @@ def safe_cholesky(
     jitters = jitter_init * (10.0 ** jnp.arange(max_tries, dtype=sigma.dtype))
     # [k, ..., n, n]
     candidates = sigma[None] + jitters.reshape((max_tries,) + (1,) * sigma.ndim) * eye
-    factors = jnp.linalg.cholesky(candidates)
+    factors = cholesky_small(candidates)
     ok = jnp.all(jnp.isfinite(factors), axis=(-1, -2))  # [k, ...]
     # index of first finite factor; max_tries if none
     first_ok = jnp.argmax(ok, axis=0)
@@ -85,12 +135,18 @@ def mvn_logpdf_chol(x: jax.Array, mean: jax.Array, scale_tril: jax.Array) -> jax
         [...] log-densities.
     """
     n = x.shape[-1]
-    diff = (x - mean)[..., None]
-    # triangular_solve requires identical batch dims (no broadcasting)
-    batch_shape = jnp.broadcast_shapes(diff.shape[:-2], scale_tril.shape[:-2])
-    diff = jnp.broadcast_to(diff, batch_shape + diff.shape[-2:])
-    scale_tril = jnp.broadcast_to(scale_tril, batch_shape + scale_tril.shape[-2:])
-    sol = jax.scipy.linalg.solve_triangular(scale_tril, diff, lower=True)[..., 0]
+    diff = x - mean
+    if n <= _UNROLL_LIMIT:
+        sol = _tri_solve_unrolled(scale_tril, diff)
+    else:
+        diff_c = diff[..., None]
+        # triangular_solve requires identical batch dims (no broadcasting)
+        batch_shape = jnp.broadcast_shapes(diff_c.shape[:-2], scale_tril.shape[:-2])
+        diff_c = jnp.broadcast_to(diff_c, batch_shape + diff_c.shape[-2:])
+        scale_tril = jnp.broadcast_to(
+            scale_tril, batch_shape + scale_tril.shape[-2:]
+        )
+        sol = jax.scipy.linalg.solve_triangular(scale_tril, diff_c, lower=True)[..., 0]
     maha = jnp.sum(jnp.square(sol), axis=-1)
     logdet = jnp.sum(jnp.log(jnp.diagonal(scale_tril, axis1=-2, axis2=-1)), axis=-1)
     return -0.5 * (n * _LOG_2PI + maha) - logdet
