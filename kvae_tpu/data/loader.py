@@ -102,6 +102,12 @@ class DeviceDataLoader:
     def __len__(self) -> int:
         return self.n // self.batch_size
 
+    def epoch_order(self) -> np.ndarray:
+        """Per-epoch (shuffled) index vector, truncated to whole batches —
+        the input to the fused epoch runner (train.state.make_epoch_runner)."""
+        order = self.rng.permutation(self.n) if self.shuffle else np.arange(self.n)
+        return order[: len(self) * self.batch_size].astype(np.int32)
+
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
         order = self.rng.permutation(self.n) if self.shuffle else np.arange(self.n)
         order_dev = jax.device_put(order)  # one tiny upload per epoch

@@ -42,6 +42,11 @@ from kvae_tpu.ops.lgssm import (
 
 class KVAE(nn.Module):
     config: KVAEConfig
+    # For filter_impl="seqpar": the (data x time) mesh and axis names the
+    # smoother shards over. Static module fields — hashing/retracing safe.
+    seq_mesh: Optional[object] = None       # jax.sharding.Mesh
+    seq_time_axis: str = "time"
+    seq_batch_axis: Optional[str] = None
 
     def setup(self):
         cfg = self.config
@@ -120,6 +125,19 @@ class KVAE(nn.Module):
             from kvae_tpu.ops.pallas_kf_bwd import lgssm_smooth_pallas_adjoint
 
             return lgssm_smooth_pallas_adjoint(a, u, mask, params, dyn_seq)
+        if impl == "seqpar":
+            # Sequence parallelism: the smoother runs time-sharded over
+            # seq_mesh (optionally also batch-sharded — 2D data x time).
+            from kvae_tpu.parallel.seqpar import lgssm_smooth_seqpar
+
+            if self.seq_mesh is None:
+                raise ValueError(
+                    "filter_impl='seqpar' requires KVAE(seq_mesh=...)"
+                )
+            return lgssm_smooth_seqpar(
+                a, u, mask, params, dyn_seq, mesh=self.seq_mesh,
+                axis=self.seq_time_axis, batch_axis=self.seq_batch_axis,
+            )
         return lgssm_smooth(a, u, mask, params, dynamics=dyn_seq)
 
     # ------------------------------------------------------------------

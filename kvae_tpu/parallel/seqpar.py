@@ -62,9 +62,22 @@ def make_time_mesh(num_devices: Optional[int] = None, axis: str = TIME_AXIS) -> 
     return Mesh(np.asarray(devices), (axis,))
 
 
-def time_sharding(mesh: Mesh, axis: str = TIME_AXIS) -> NamedSharding:
-    """Shard dim 1 (time) of [B, T, ...] arrays over the time axis."""
-    return NamedSharding(mesh, P(None, axis))
+def make_data_time_mesh(
+    data: int, time: int, data_axis: str = "data", time_axis: str = TIME_AXIS
+) -> Mesh:
+    """2D mesh: batch over `data` x sequence over `time` (data*time devices)."""
+    import numpy as np
+
+    devices = np.asarray(jax.devices()[: data * time]).reshape(data, time)
+    return Mesh(devices, (data_axis, time_axis))
+
+
+def time_sharding(
+    mesh: Mesh, axis: str = TIME_AXIS, batch_axis: Optional[str] = None
+) -> NamedSharding:
+    """Shard dim 1 (time) of [B, T, ...] arrays over the time axis (and
+    optionally dim 0 over a data axis)."""
+    return NamedSharding(mesh, P(batch_axis, axis))
 
 
 def _identity_filter_elem(B: int, n: int, dtype) -> _FilterElem:
@@ -158,6 +171,7 @@ def lgssm_smooth_seqpar(
     dynamics: SequenceDynamics,
     mesh: Mesh,
     axis: str = TIME_AXIS,
+    batch_axis: Optional[str] = None,
 ) -> SmoothResult:
     """Time-sharded parallel-in-time masked Kalman filter + RTS smoother.
 
@@ -165,6 +179,10 @@ def lgssm_smooth_seqpar(
     them with `time_sharding(mesh)` to avoid an initial reshard). Result
     leaves come back sharded the same way. Numerically equivalent to
     ops/lgssm.lgssm_smooth (gated by tests/test_seqpar.py).
+
+    `batch_axis` additionally shards the batch dim over a second mesh axis
+    (2D data x time parallelism: the ppermute rounds run per data-slice; no
+    cross-data communication is introduced).
     """
     B, T, p = y.shape
     n = params.mu0.shape[0]
@@ -172,8 +190,10 @@ def lgssm_smooth_seqpar(
     if mask is None:
         mask = jnp.ones((B, T), dtype=dtype)
     mask = mask.astype(dtype)
+    if batch_axis is not None:
+        B = B // mesh.shape[batch_axis]  # per-shard batch inside the kernel
 
-    spec_bt = P(None, axis)
+    spec_bt = P(batch_axis, axis)
     in_specs = (
         spec_bt,                      # y
         spec_bt,                      # u

@@ -86,8 +86,29 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
     impute_step = make_impute_step(model, cfg)
     pred_step = make_prediction_test_step(model)
 
+    # Device-resident data -> fuse each whole epoch into ONE XLA program
+    # (scan of train steps + on-device batch gather): no per-batch host
+    # dispatches, which dominate once the step itself is ~ms-fast.
+    from kvae_tpu.data.loader import DeviceDataLoader
+    from kvae_tpu.train.state import make_epoch_runner, make_eval_epoch_runner
+
+    fused_epochs = (
+        isinstance(train_loader, DeviceDataLoader) and tcfg.profile_steps == 0
+    )
+    if fused_epochs:
+        epoch_run = make_epoch_runner(model, cfg, tcfg, tx)
+        eval_epoch_run = make_eval_epoch_runner(model, cfg, tcfg)
+        logger.info("fused-epoch mode: one XLA program per train/eval epoch")
+
     eval_key = jax.random.PRNGKey(tcfg.seed + 1)
     profiled = False
+
+    def fetch_scalars(tree):
+        """One device->host round trip for a whole dict of device scalars
+        (per-scalar float() costs a ~33 ms RPC each on tunneled backends)."""
+        leaves, treedef = jax.tree.flatten(tree)
+        vals = np.asarray(jnp.stack([jnp.asarray(l, jnp.float32) for l in leaves]))
+        return jax.tree.unflatten(treedef, [float(v) for v in vals])
 
     start_epoch = int(state.epoch)
     for epoch in range(start_epoch, tcfg.max_epochs + 1):
@@ -101,38 +122,51 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
             logger.info(f"=== training phase '{phase}' from epoch {epoch} ===")
 
         # ---- train epoch ----
-        acc = MeanAccumulator()
         t0 = time.perf_counter()
-        n_steps = 0
-        for batch in train_loader:
-            if tcfg.profile_steps > 0 and not profiled and n_steps == 1:
-                jax.profiler.start_trace(str(runs_dir / "profile"))
-            state, metrics = train_step(state, batch["images"], phase)
-            acc.update(metrics)
-            n_steps += 1
-            if (
-                tcfg.profile_steps > 0 and not profiled
-                and n_steps == 1 + tcfg.profile_steps
-            ):
-                jax.tree.leaves(metrics)[0].block_until_ready()
-                jax.profiler.stop_trace()
-                profiled = True
-                logger.info(f"profiler trace written to {runs_dir / 'profile'}")
-        train_metrics = acc.result()  # single host sync
+        if fused_epochs:
+            n_steps = len(train_loader)
+            order = jnp.asarray(train_loader.epoch_order())
+            state, metrics_dev = epoch_run(state, train_loader.images, order, phase)
+            train_metrics = fetch_scalars(metrics_dev)  # one sync
+        else:
+            acc = MeanAccumulator()
+            n_steps = 0
+            for batch in train_loader:
+                if tcfg.profile_steps > 0 and not profiled and n_steps == 1:
+                    jax.profiler.start_trace(str(runs_dir / "profile"))
+                state, metrics = train_step(state, batch["images"], phase)
+                acc.update(metrics)
+                n_steps += 1
+                if (
+                    tcfg.profile_steps > 0 and not profiled
+                    and n_steps == 1 + tcfg.profile_steps
+                ):
+                    jax.tree.leaves(metrics)[0].block_until_ready()
+                    jax.profiler.stop_trace()
+                    profiled = True
+                    logger.info(f"profiler trace written to {runs_dir / 'profile'}")
+            train_metrics = acc.result()  # single host sync
         dt = time.perf_counter() - t0
         steps_per_sec = n_steps / dt if dt > 0 else 0.0
         train_metrics["steps_per_sec"] = steps_per_sec
 
         # ---- eval epoch (fully observed) ----
-        acc = MeanAccumulator()
-        viz = None
-        last_batch = None
-        for batch in val_loader:
+        if fused_epochs:
             eval_key, k = jax.random.split(eval_key)
-            metrics, viz = eval_step(state, batch["images"], k)
-            acc.update(metrics)
-            last_batch = batch
-        val_metrics = acc.result()
+            order = jnp.asarray(val_loader.epoch_order())
+            metrics_dev, viz = eval_epoch_run(state, val_loader.images, order, k)
+            val_metrics = fetch_scalars(metrics_dev)
+            last_batch = {"images": viz["x"]}
+        else:
+            acc = MeanAccumulator()
+            viz = None
+            last_batch = None
+            for batch in val_loader:
+                eval_key, k = jax.random.split(eval_key)
+                metrics, viz = eval_step(state, batch["images"], k)
+                acc.update(metrics)
+                last_batch = batch
+            val_metrics = acc.result()
 
         writer.log_scalars(train_metrics, "train", epoch)
         writer.log_scalars(val_metrics, "val", epoch)

@@ -89,12 +89,10 @@ def _schedules(cfg: KVAEConfig, tcfg: TrainingConfig, epoch: jax.Array):
     return beta, tau, lr
 
 
-def make_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
-    """Build the jitted train step. `phase` is static (<=3 compilations)."""
+def make_raw_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
+    """The un-jitted train-step function (phase static). Jitted directly by
+    `make_train_step`, or scanned over a whole epoch by `make_epoch_runner`."""
 
-    donate = (0,) if tcfg.donate_state else ()
-
-    @partial(jax.jit, static_argnames=("phase",), donate_argnums=donate)
     def train_step(
         state: TrainState, x: jax.Array, phase: str
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
@@ -135,6 +133,102 @@ def make_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
         return new_state, metrics
 
     return train_step
+
+
+def make_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
+    """Build the jitted train step. `phase` is static (<=3 compilations)."""
+    raw = make_raw_train_step(model, cfg, tcfg, tx)
+    donate = (0,) if tcfg.donate_state else ()
+    return partial(jax.jit, static_argnames=("phase",), donate_argnums=donate)(raw)
+
+
+def make_epoch_runner(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
+    """One XLA program per TRAINING EPOCH: `lax.scan` over batches, each
+    gathered on device from the HBM-resident dataset by a shuffled index
+    vector. Removes every per-batch host dispatch — on a dispatch-expensive
+    backend (e.g. a tunneled TPU, ~1 RPC per op) the epoch rate becomes the
+    step rate. The reference's epoch loop is host-side Python over a torch
+    DataLoader (reference kvae/train/train.py:32-62).
+
+    Returns epoch_run(state, images [N,...], order [n_batches*bs], phase)
+    -> (state, mean-metrics dict). `order` re-uploads per epoch (tiny).
+    """
+    raw = make_raw_train_step(model, cfg, tcfg, tx)
+    bs = tcfg.batch_size
+    donate = (0,) if tcfg.donate_state else ()
+
+    @partial(jax.jit, static_argnames=("phase",), donate_argnums=donate)
+    def epoch_run(state: TrainState, images: jax.Array, order: jax.Array, phase: str):
+        n_batches = order.shape[0] // bs
+        # One big contiguous permute per epoch (HBM-bandwidth cheap), then
+        # each step is a static-shaped slice — faster than a 32-row gather
+        # from the full dataset every step.
+        images_perm = jnp.take(images, order, axis=0)
+
+        def body(carry, i):
+            st = carry
+            x = jax.lax.dynamic_slice_in_dim(images_perm, i * bs, bs)
+            st, metrics = raw(st, x, phase)
+            return st, metrics
+
+        state, metrics_seq = jax.lax.scan(
+            body, state, jnp.arange(n_batches, dtype=jnp.int32)
+        )
+        return state, jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics_seq)
+
+    return epoch_run
+
+
+def make_eval_epoch_runner(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig):
+    """One XLA program per EVAL EPOCH (scan of eval steps over on-device
+    batches); returns mean metrics plus the last batch's viz outputs."""
+    bs = tcfg.batch_size
+
+    @partial(jax.jit, static_argnames=())
+    def epoch_run(state: TrainState, images: jax.Array, order: jax.Array, key: jax.Array):
+        beta, tau, _ = _schedules(cfg, tcfg, state.epoch)
+        n_batches = order.shape[0] // bs
+
+        def body(carry, i):
+            _ = carry
+            idx = jax.lax.dynamic_slice_in_dim(order, i * bs, bs)
+            x = jnp.take(images, idx, axis=0)
+            k_sample, k_gumbel = jax.random.split(jax.random.fold_in(key, i))
+            losses, outputs = model.apply(
+                {"params": state.params}, x, tau=tau, beta=beta, train=False,
+                rngs={"sample": k_sample, "gumbel": k_gumbel},
+                method=KVAE.forward_and_loss,
+            )
+            metrics = {
+                "loss": losses["loss"],
+                "elbo_kf": losses["elbo_kf"],
+                "elbo_vae_total": losses["elbo_vae_total"],
+                "active_units": losses["active_units"].astype(jnp.float32),
+                "latent_var_0": losses["latent_variances"][0],
+                "latent_var_1": losses["latent_variances"][min(1, cfg.a_dim - 1)],
+            }
+            # carry (not stack) the viz: only the last batch's survives
+            viz = {
+                "x": x,
+                "x_recon": outputs["x_recon"],
+                "state_probs": outputs["state_probs"],
+            }
+            return viz, metrics
+
+        viz0 = {
+            "x": jnp.zeros((bs,) + images.shape[1:], images.dtype),
+            "x_recon": jnp.zeros((bs,) + images.shape[1:], images.dtype),
+            "state_probs": jnp.zeros(
+                (bs, images.shape[1], cfg.num_modes), jnp.float32
+            ),
+        }
+        viz_last, metrics_seq = jax.lax.scan(
+            body, viz0, jnp.arange(n_batches, dtype=jnp.int32)
+        )
+        metrics = jax.tree.map(lambda m: jnp.mean(m, axis=0), metrics_seq)
+        return metrics, viz_last
+
+    return epoch_run
 
 
 def make_eval_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig):

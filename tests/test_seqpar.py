@@ -9,6 +9,7 @@ import pytest
 from kvae_tpu.ops.lgssm import LGSSMParams, SequenceDynamics, lgssm_smooth
 from kvae_tpu.parallel.seqpar import (
     lgssm_smooth_seqpar,
+    make_data_time_mesh,
     make_time_mesh,
     time_sharding,
 )
@@ -102,6 +103,31 @@ def test_seqpar_differentiable(rng):
     g1 = jax.grad(loss_seqpar)(jax.device_put(dyn.A, sh))
     g2 = jax.grad(loss_ref)(dyn.A)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-3, atol=1e-4)
+
+
+def test_seqpar_2d_data_time_mesh(rng):
+    """Batch AND time sharded (2D mesh): same numbers as sequential."""
+    y, u, mask, params, dyn = _system(rng)  # B=3 not divisible by 2 -> pad B
+    y, u, mask = y[:2], u[:2], mask[:2]
+    dyn = jax.tree.map(lambda v: v[:2], dyn)
+    ref = lgssm_smooth(y, u, mask, params, dynamics=dyn)
+
+    mesh = make_data_time_mesh(2, 4)
+    sh = time_sharding(mesh, batch_axis="data")
+    put = lambda x: jax.device_put(x, sh)
+    out = jax.jit(
+        lambda *a: lgssm_smooth_seqpar(
+            *a, mesh=mesh, batch_axis="data"
+        )
+    )(put(y), put(u), put(mask), params, jax.tree.map(put, dyn))
+
+    np.testing.assert_allclose(
+        np.asarray(out.mu_smooth), np.asarray(ref.mu_smooth), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.filter_result.mu_filt), np.asarray(ref.filter_result.mu_filt),
+        rtol=1e-4, atol=1e-5,
+    )
 
 
 def test_seqpar_sharding_preserved(rng):

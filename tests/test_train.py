@@ -135,6 +135,55 @@ def test_impute_epoch_metrics():
     assert out["sample"]["x_imputed"].shape == x.shape
 
 
+def test_fused_epoch_matches_stepwise():
+    """make_epoch_runner (one scanned XLA program per epoch, on-device batch
+    gather) must produce the same state and metrics as calling the jitted
+    train step batch-by-batch in the same order."""
+    from kvae_tpu.train.state import make_epoch_runner
+
+    cfg, tcfg, model, state, tx, _ = _setup("switching", b=4, t=6)
+    rng = np.random.default_rng(7)
+    images = jnp.asarray(rng.uniform(size=(12, 6, 1, 32, 32)).astype(np.float32))
+    order = jnp.asarray(np.array([3, 7, 0, 11, 5, 2, 9, 1], np.int32))  # 2 batches
+
+    step = make_train_step(model, cfg, tcfg, tx)
+    st_seq = state
+    losses = []
+    for i in range(2):
+        x = jnp.take(images, order[i * 4:(i + 1) * 4], axis=0)
+        st_seq, m = step(st_seq, x, "all")
+        losses.append(float(m["loss"]))
+
+    epoch_run = make_epoch_runner(model, cfg, tcfg, tx)
+    st_fused, metrics = epoch_run(state, images, order, "all")
+
+    np.testing.assert_allclose(
+        float(metrics["loss"]), np.mean(losses), rtol=1e-5
+    )
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-6
+        ),
+        st_fused.params, st_seq.params,
+    )
+    assert int(st_fused.step) == int(st_seq.step) == 2
+
+
+def test_fused_eval_epoch_contract():
+    from kvae_tpu.train.state import make_eval_epoch_runner
+
+    cfg, tcfg, model, state, tx, _ = _setup("switching", b=4, t=6)
+    rng = np.random.default_rng(8)
+    images = jnp.asarray(rng.uniform(size=(8, 6, 1, 32, 32)).astype(np.float32))
+    order = jnp.asarray(np.arange(8, dtype=np.int32))
+    run = make_eval_epoch_runner(model, cfg, tcfg)
+    metrics, viz = run(state, images, order, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
+    assert viz["x_recon"].shape == (4, 6, 1, 32, 32)
+    # the carried viz is the LAST batch: its originals are images[4:8]
+    np.testing.assert_allclose(np.asarray(viz["x"]), np.asarray(images[4:8]))
+
+
 def test_checkpoint_roundtrip(tmp_path):
     cfg, tcfg, model, state, tx, x = _setup("lstm")
     ck = Checkpointer(tmp_path / "ckpts", ckpt_every=1)
