@@ -111,6 +111,8 @@ class TrainingConfig:
     donate_state: bool = True           # donate train-state buffers to the jitted step
     resume_from: Optional[str] = None   # orbax checkpoint dir to resume from
     profile_steps: int = 0              # if >0, capture a jax.profiler trace of N steps
+    debug_nans: bool = False            # dev mode: jax_debug_nans (fail fast at the
+    #                                     op that produced a NaN; disables fusion wins)
 
 
 @dataclass

@@ -168,7 +168,7 @@ class LSTMAlphaDynamics(nn.Module):
 
         _, h_seq = jax.lax.scan(
             body, rnn.lstm_init_carry(batch, self.hidden, dtype),
-            jnp.swapaxes(y_in, 0, 1),
+            jnp.swapaxes(y_in, 0, 1), unroll=4,
         )
         h_seq = jnp.swapaxes(h_seq, 0, 1)  # [B,T,H]
         alpha = jax.nn.softmax(h_seq @ self.head_w + self.head_b, axis=-1)
@@ -287,7 +287,7 @@ class SwitchingDynamics(nn.Module):
             return y_t, (y_t, log_q, log_p)
 
         _, (y_rest, log_q_rest, log_p_rest) = jax.lax.scan(
-            body, y0, (logits_t, chain_keys)
+            body, y0, (logits_t, chain_keys), unroll=4
         )
         y_seq = jnp.concatenate([y0[:, None], jnp.swapaxes(y_rest, 0, 1)], axis=1)
         log_q = jnp.concatenate([log_q0[:, None], jnp.swapaxes(log_q_rest, 0, 1)], axis=1)

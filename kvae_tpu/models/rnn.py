@@ -95,7 +95,7 @@ def gru_scan(p, x_seq: jax.Array, reverse: bool = False) -> jax.Array:
     def body(h, x):
         return gru_step(p, h, x)
 
-    _, hs = jax.lax.scan(body, h0, xs, reverse=reverse)
+    _, hs = jax.lax.scan(body, h0, xs, reverse=reverse, unroll=4)
     return jnp.swapaxes(hs, 0, 1)
 
 

@@ -49,6 +49,11 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
     """Run a full training; returns {'best_val': ..., 'runs_dir': ...}."""
     cfg, tcfg, dcfg = config["kvae"], config["training"], config["dataset"]
 
+    if tcfg.debug_nans:
+        # Dev mode (SURVEY §5): fail at the op that produced a NaN instead of
+        # the reference's silent _safe_cholesky escape hatch.
+        jax.config.update("jax_debug_nans", True)
+
     runs_dir = Path(runs_dir) if runs_dir else create_runs_dir(tcfg.logdir)
     runs_dir.mkdir(parents=True, exist_ok=True)
     logger = setup_logging(str(runs_dir / "train.log"))
