@@ -143,7 +143,18 @@ def build_dataset(cfg: DatasetConfig) -> NPZVideoDataset:
             "num_balls", "seed",
         }
         gen_kwargs = {k: v for k, v in kwargs.items() if k in gen_keys}
-        data = generate_bouncing_ball(**gen_kwargs)
+        # The XLA generator is ~30x the numpy path even on the CPU backend
+        # (and runs on-chip on TPU); numpy remains as the reference
+        # implementation (generate_on_device: false) and for equivalence tests.
+        on_device = kwargs.get("generate_on_device", True)
+        if on_device == "auto":
+            on_device = jax.default_backend() != "cpu"
+        if on_device:
+            from kvae_tpu.data.bouncing_ball import generate_bouncing_ball_device
+
+            data = generate_bouncing_ball_device(**gen_kwargs)
+        else:
+            data = generate_bouncing_ball(**gen_kwargs)
         return NPZVideoDataset(
             arrays=data, seq_len=gen_kwargs.get("seq_len", 20), normalize=False
         )

@@ -42,6 +42,19 @@ def test_bouncing_ball_multiball_and_determinism():
     assert d1["images"].mean() > single["images"].mean()
 
 
+def test_bouncing_ball_device_matches_numpy():
+    """The XLA generator (default path) must reproduce the numpy reference
+    within float32 round-off, single- and multi-ball."""
+    from kvae_tpu.data.bouncing_ball import generate_bouncing_ball_device
+
+    for kw in (dict(num_sequences=8, seq_len=10, seed=3),
+               dict(num_sequences=4, seq_len=8, num_balls=3, seed=5)):
+        ref = generate_bouncing_ball(**kw)
+        dev = generate_bouncing_ball_device(**kw)
+        np.testing.assert_allclose(ref["images"], dev["images"], atol=1e-4)
+        np.testing.assert_allclose(ref["state"], dev["state"], atol=1e-4)
+
+
 def test_npz_dataset_layouts(tmp_path, rng):
     # (N,T,H,W) uint8 + state — the reference's committed layout
     imgs = (rng.uniform(size=(5, 20, 32, 32)) * 255).astype(np.uint8)
