@@ -161,16 +161,7 @@ class LSTMAlphaDynamics(nn.Module):
         y_in = jnp.concatenate(
             [jnp.zeros((batch, 1, self.p), dtype=dtype), a_seq[:, :-1]], axis=1
         )
-
-        def body(carry, x):
-            carry, h = rnn.lstm_step(self.lstm, carry, x)
-            return carry, h
-
-        _, h_seq = jax.lax.scan(
-            body, rnn.lstm_init_carry(batch, self.hidden, dtype),
-            jnp.swapaxes(y_in, 0, 1), unroll=4,
-        )
-        h_seq = jnp.swapaxes(h_seq, 0, 1)  # [B,T,H]
+        h_seq = rnn.lstm_scan(self.lstm, y_in)  # [B,T,H]
         alpha = jax.nn.softmax(h_seq @ self.head_w + self.head_b, axis=-1)
         seq = SequenceDynamics(
             A=einsum("btk,kij->btij", alpha, self.A),

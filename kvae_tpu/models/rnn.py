@@ -86,16 +86,48 @@ def gru_step(p, h, x):
 
 
 def gru_scan(p, x_seq: jax.Array, reverse: bool = False) -> jax.Array:
-    """Run a GRU over a whole [B,T,in] sequence; returns hidden states [B,T,H]."""
+    """Run a GRU over a whole [B,T,in] sequence; returns hidden states [B,T,H].
+
+    The input projection x @ wi + bi has no recurrent dependency, so it is
+    hoisted out of the scan as one batched [B*T] matmul (MXU-friendly); only
+    the h @ wh recurrence stays sequential."""
     batch = x_seq.shape[0]
     hidden = p["wh"].shape[0]
     h0 = jnp.zeros((batch, hidden), dtype=x_seq.dtype)
-    xs = jnp.swapaxes(x_seq, 0, 1)
+    gi_seq = jnp.swapaxes(x_seq @ p["wi"] + p["bi"], 0, 1)  # [T,B,3H]
 
-    def body(h, x):
-        return gru_step(p, h, x)
+    def body(h, gi):
+        gh = h @ p["wh"] + p["bh"]
+        i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
+        h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
+        r = jax.nn.sigmoid(i_r + h_r)
+        z = jax.nn.sigmoid(i_z + h_z)
+        n = jnp.tanh(i_n + r * h_n)
+        h_new = (1.0 - z) * n + z * h
+        return h_new, h_new
 
-    _, hs = jax.lax.scan(body, h0, xs, reverse=reverse, unroll=4)
+    _, hs = jax.lax.scan(body, h0, gi_seq, reverse=reverse, unroll=4)
+    return jnp.swapaxes(hs, 0, 1)
+
+
+def lstm_scan(p, x_seq: jax.Array) -> jax.Array:
+    """Run an LSTM over a whole [B,T,in] sequence; returns hidden states
+    [B,T,H]. Input projection hoisted out of the scan (see gru_scan)."""
+    batch = x_seq.shape[0]
+    hidden = p["wh"].shape[0]
+    gi_seq = jnp.swapaxes(x_seq @ p["wi"] + p["b"], 0, 1)  # [T,B,4H]
+
+    def body(carry, gi):
+        h, c = carry
+        gates = gi + h @ p["wh"]
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return (h_new, c_new), h_new
+
+    _, hs = jax.lax.scan(
+        body, lstm_init_carry(batch, hidden, x_seq.dtype), gi_seq, unroll=4
+    )
     return jnp.swapaxes(hs, 0, 1)
 
 
