@@ -2,14 +2,13 @@
 
 XLA's batched LU (`jnp.linalg.solve`) is fast for n<=4 but falls off a cliff
 for n in (5..16) on TPU (measured: 29 ms vs 2 ms for 12,800 8x8 systems).
-`solve_small` unrolls pivot-free Gauss-Jordan elimination over the static
-matrix dimension — pure vectorized VPU ops, differentiable, exact to ~1e-7 of
-LU on the well-conditioned systems the LGSSM produces (PD covariances,
-near-identity I + C J combine denominators).
-
-No pivoting: only use on PD / diagonally-dominant systems (all LGSSM solves
-qualify; the reference also never pivots explicitly, relying on
-torch.linalg.solve over the same matrices).
+`solve_small` unrolls Gauss-Jordan elimination with branchless partial
+pivoting over the static matrix dimension — pure vectorized VPU ops
+(per-batch row blends, no gathers), differentiable, exact to ~1e-7 of LU.
+Pivoting matters even on the mostly-PD systems the LGSSM produces: the
+non-symmetric I + C J combine denominators of the associative-scan path can
+hit a near-zero leading pivot, which TPU's flush-to-zero denormals turn into
+an exact 0 (see solve_small's docstring).
 """
 from __future__ import annotations
 

@@ -84,25 +84,54 @@ def _chol_solve(L, b, p):
 
 
 def _ge_solve(M, bs, k):
-    """Solve M x = b for each length-k tile rhs in `bs` via pivot-free
-    Gauss-Jordan. Unlike Cholesky this tolerates indefinite (but invertible)
-    matrices — during training the learned per-regime Q is unconstrained and
-    sigma_pred can drift indefinite (the scan path's LU copes; sqrt-based
-    factorizations NaN).
+    """Solve M x = b for each length-k tile rhs in `bs` via Gauss-Jordan with
+    branchless partial pivoting. Unlike Cholesky this tolerates indefinite
+    (but invertible) matrices — during training the learned per-regime Q is
+    unconstrained and sigma_pred can drift indefinite (the scan path's LU
+    copes; sqrt-based factorizations NaN).
+
+    Pivoting mirrors ops/linalg.py `solve_small`: per-lane row blends over
+    the [8,128] tiles. Without it a near-zero pivot in ONE batch lane goes
+    denormal, TPU flushes it to exactly 0, and the NaN poisons the whole
+    kernel output — observed on the scan path at B=128 T=100 n=8 before
+    solve_small gained pivoting; these kernels train the same matrices.
 
     Returns a list of solutions, each a length-k tile list."""
     nrhs = len(bs)
+    width = k + nrhs
     rows = [
         [M[i][j] for j in range(k)] + [bs[r][i] for r in range(nrhs)]
         for i in range(k)
     ]
     for i in range(k):
+        if k - i > 1:
+            # branchless partial pivot among rows i..k-1 on column i,
+            # independently per tile lane
+            best_val = jnp.abs(rows[i][i])
+            best_r = jnp.zeros_like(best_val, dtype=jnp.int32)
+            for r in range(1, k - i):
+                v = jnp.abs(rows[i + r][i])
+                better = v > best_val
+                best_val = jnp.where(better, v, best_val)
+                best_r = jnp.where(better, r, best_r)
+            old_i = rows[i]
+            acc = [jnp.zeros_like(old_i[c]) for c in range(width)]
+            for r in range(k - i):
+                sel = best_r == r
+                for c in range(width):
+                    acc[c] = acc[c] + jnp.where(sel, rows[i + r][c], 0.0)
+                if r > 0:
+                    rows[i + r] = [
+                        jnp.where(sel, old_i[c], rows[i + r][c])
+                        for c in range(width)
+                    ]
+            rows[i] = acc
         inv = 1.0 / rows[i][i]
         rows[i] = [v * inv for v in rows[i]]
         for j in range(k):
             if j != i:
                 f = rows[j][i]
-                rows[j] = [rows[j][c] - f * rows[i][c] for c in range(k + nrhs)]
+                rows[j] = [rows[j][c] - f * rows[i][c] for c in range(width)]
     return [[rows[i][k + r] for i in range(k)] for r in range(nrhs)]
 
 
