@@ -24,10 +24,49 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 DATA_AXIS = "data"
 
 
-def init_distributed():
-    """Multi-host init (no-op for single-process runs)."""
-    if os.environ.get("JAX_COORDINATOR_ADDRESS"):
-        jax.distributed.initialize()
+def init_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-host init over DCN — the TPU-native stand-in for the reference's
+    (absent) torch.distributed stack.
+
+    Call before any other jax API when running under a multi-host launcher.
+    Arguments fall back to the standard env vars (JAX_COORDINATOR_ADDRESS,
+    JAX_NUM_PROCESSES, JAX_PROCESS_ID); with none set this is a no-op so
+    single-process entry points can call it unconditionally. On TPU pods the
+    three values come from the runtime and `jax.distributed.initialize()`
+    discovers them itself — passing only the env-var coordinator is enough.
+
+    Returns True iff a multi-process runtime was initialized. Validated by
+    tests/test_multidevice.py::test_init_distributed_two_processes, which
+    forms a real 2-process × 4-virtual-device global mesh over localhost and
+    checks cross-process collectives.
+    """
+    coordinator_address = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS"
+    )
+    if not coordinator_address:
+        return False
+    env_np = os.environ.get("JAX_NUM_PROCESSES")
+    env_pid = os.environ.get("JAX_PROCESS_ID")
+    jax.distributed.initialize(
+        coordinator_address=coordinator_address,
+        num_processes=num_processes if num_processes is not None
+        else (int(env_np) if env_np else None),
+        process_id=process_id if process_id is not None
+        else (int(env_pid) if env_pid else None),
+    )
+    return jax.process_count() > 1
+
+
+def make_global_mesh(axis: str = DATA_AXIS) -> Mesh:
+    """Mesh over ALL global devices (every process's chips). Under
+    `init_distributed` each process passes its local batch shard via
+    `jax.make_array_from_process_local_data`; within-host reductions ride
+    ICI and cross-host legs ride DCN, both emitted by XLA."""
+    return Mesh(np.asarray(jax.devices()), (axis,))
 
 
 def make_mesh(num_devices: Optional[int] = None, axis: str = DATA_AXIS) -> Mesh:
