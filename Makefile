@@ -1,9 +1,15 @@
 # Dev conveniences (parity with the reference Makefile's tensorboard helper).
 LOGDIR ?= runs
 
-.PHONY: test bench train board fixtures
+.PHONY: test test-all bench train board fixtures
 
+# Fast suite (<10 min): every correctness gate; excludes the `slow`-marked
+# Pallas interpret-mode / long-sequence tests.
 test:
+	python -m pytest tests/ -q -m "not slow"
+
+# Full suite including slow tests (CI / pre-release; ~1 h on CPU).
+test-all:
 	python -m pytest tests/ -q
 
 bench:

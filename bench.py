@@ -1,16 +1,25 @@
-"""Headline benchmark: KVAE train steps/sec on the base config
-(K=3, a_dim=2, z_dim=4, T=20, batch 32 — BASELINE.json config 2).
+"""Driver benchmark: KVAE train throughput on real hardware.
 
-Prints ONE JSON line:
+Prints one JSON line per benched config, HEADLINE FIRST:
   {"metric": "train_steps_per_sec", "value": N, "unit": "steps/s",
-   "vs_baseline": N / REFERENCE_STEPS_PER_SEC}
+   "vs_baseline": N / REFERENCE_STEPS_PER_SEC, ...}
+  {"metric": "skvae_train_steps_per_sec", ...}
+  {"metric": "scaling_t100_ms_per_step", ...}
+
+Configs:
+  1. headline — base KVAE (LSTM-alpha, K=3, a=2, z=4, T=20, bs=32;
+     BASELINE.json config 2).
+  2. skvae — switching dynamics, same shapes (BASELINE.json config 3).
+  3. scaling — T=100, B=128, z=8, switching (BASELINE.json config 5 shapes;
+     guards the PARITY.md scaling-step number).
 
 Baseline: the reference publishes no throughput numbers (BASELINE.md); the
 constant below was measured by running the reference PyTorch train step
 (forward + loss + backward + clip + Adam, identical config/batch) on this
 container's CPU — the reference's only supported non-CUDA device class here
 (it shipped on CPU/MPS laptops): 2.625 steps/s. The BASELINE.json target is
->= 10x that.
+>= 10x that. The skvae/scaling configs have no reference measurement
+(vs_baseline: null).
 """
 import json
 import sys
@@ -19,8 +28,31 @@ import time
 REFERENCE_STEPS_PER_SEC = 2.625  # measured: /root/reference train step, CPU, bs=32 T=20
 
 WARMUP_STEPS = 10
-TIMED_STEPS = 500   # per window
-WINDOWS = 5         # report the median window (dispatch-stream jitter)
+
+
+def bench_config(cfg, tcfg, x, timed_steps, windows):
+    """Median-window steps/s with one hard value-fetch sync per window
+    (block_until_ready does not synchronize on tunneled backends)."""
+    from kvae_tpu.train.state import create_train_state, make_train_step
+
+    model, state, tx = create_train_state(cfg, tcfg, x)
+    train_step = make_train_step(model, cfg, tcfg, tx)
+
+    t0 = time.perf_counter()
+    for _ in range(WARMUP_STEPS):
+        state, metrics = train_step(state, x, "all")
+    loss = float(metrics["loss"])
+    compile_s = time.perf_counter() - t0
+
+    rates = []
+    for _ in range(windows):
+        t0 = time.perf_counter()
+        for _ in range(timed_steps):
+            state, metrics = train_step(state, x, "all")
+        float(metrics["loss"])  # hard sync
+        rates.append(timed_steps / (time.perf_counter() - t0))
+    steps_per_sec = sorted(rates)[len(rates) // 2]
+    return steps_per_sec, compile_s, loss
 
 
 def main():
@@ -33,45 +65,60 @@ def main():
     enable_compilation_cache()
 
     from kvae_tpu.config import KVAEConfig, TrainingConfig
-    from kvae_tpu.train.state import create_train_state, make_train_step
 
-    cfg = KVAEConfig(
-        dynamics_model="lstm", num_modes=3, a_dim=2, z_dim=4,
-        out_distr="bernoulli", filter_impl="auto",
-    )
-    tcfg = TrainingConfig(batch_size=32, T=20)
+    n_chips = jax.local_device_count()
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.uniform(size=(32, 20, 1, 32, 32)) > 0.5, jnp.float32)
 
-    model, state, tx = create_train_state(cfg, tcfg, x)
-    train_step = make_train_step(model, cfg, tcfg, tx)
+    def data(b, t):
+        return jnp.asarray(rng.uniform(size=(b, t, 1, 32, 32)) > 0.5, jnp.float32)
 
-    t0 = time.perf_counter()
-    for _ in range(WARMUP_STEPS):
-        state, metrics = train_step(state, x, "all")
-    float(metrics["loss"])
-    compile_and_warmup = time.perf_counter() - t0
+    lines = []
 
-    rates = []
-    for _ in range(WINDOWS):
-        t0 = time.perf_counter()
-        for _ in range(TIMED_STEPS):
-            state, metrics = train_step(state, x, "all")
-        float(metrics["loss"])  # hard sync
-        rates.append(TIMED_STEPS / (time.perf_counter() - t0))
-
-    steps_per_sec = sorted(rates)[len(rates) // 2]
-    print(
-        f"device={jax.devices()[0]} compile+warmup={compile_and_warmup:.1f}s "
-        f"loss={float(metrics['loss']):.3f} {steps_per_sec:.2f} steps/s",
-        file=sys.stderr,
-    )
-    print(json.dumps({
-        "metric": "train_steps_per_sec",
-        "value": round(steps_per_sec, 3),
+    # 1. headline
+    cfg = KVAEConfig(dynamics_model="lstm", num_modes=3, a_dim=2, z_dim=4,
+                     out_distr="bernoulli", filter_impl="auto")
+    tcfg = TrainingConfig(batch_size=32, T=20)
+    sps, compile_s, loss = bench_config(cfg, tcfg, data(32, 20), 500, 5)
+    print(f"headline: compile+warmup={compile_s:.1f}s loss={loss:.3f} "
+          f"{sps:.2f} steps/s on {jax.devices()[0]}", file=sys.stderr)
+    lines.append({
+        "metric": "train_steps_per_sec", "value": round(sps, 3),
         "unit": "steps/s",
-        "vs_baseline": round(steps_per_sec / REFERENCE_STEPS_PER_SEC, 2),
-    }))
+        "vs_baseline": round(sps / REFERENCE_STEPS_PER_SEC, 2),
+        "ms_per_step": round(1000.0 / sps, 3),
+        "steps_per_sec_per_chip": round(sps / n_chips, 3),
+    })
+
+    # 2. SKVAE (switching dynamics), same shapes
+    cfg = KVAEConfig(dynamics_model="switching", num_modes=3, a_dim=2, z_dim=4,
+                     out_distr="bernoulli", filter_impl="auto")
+    tcfg = TrainingConfig(batch_size=32, T=20)
+    sps, compile_s, loss = bench_config(cfg, tcfg, data(32, 20), 300, 3)
+    print(f"skvae: compile+warmup={compile_s:.1f}s loss={loss:.3f} "
+          f"{sps:.2f} steps/s", file=sys.stderr)
+    lines.append({
+        "metric": "skvae_train_steps_per_sec", "value": round(sps, 3),
+        "unit": "steps/s", "vs_baseline": None,
+        "ms_per_step": round(1000.0 / sps, 3),
+        "steps_per_sec_per_chip": round(sps / n_chips, 3),
+    })
+
+    # 3. scaling config: T=100, B=128, z=8 (configs/scaling_t100.yaml shapes)
+    cfg = KVAEConfig(dynamics_model="switching", num_modes=3, a_dim=4, z_dim=8,
+                     out_distr="bernoulli", filter_impl="auto")
+    tcfg = TrainingConfig(batch_size=128, T=100)
+    sps, compile_s, loss = bench_config(cfg, tcfg, data(128, 100), 100, 3)
+    print(f"scaling_t100: compile+warmup={compile_s:.1f}s loss={loss:.3f} "
+          f"{1000.0 / sps:.2f} ms/step", file=sys.stderr)
+    lines.append({
+        "metric": "scaling_t100_ms_per_step", "value": round(1000.0 / sps, 3),
+        "unit": "ms/step", "vs_baseline": None,
+        "steps_per_sec": round(sps, 3),
+        "steps_per_sec_per_chip": round(sps / n_chips, 3),
+    })
+
+    for line in lines:
+        print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -110,7 +110,17 @@ class TrainingConfig:
     num_devices: Optional[int] = None   # data-parallel width (None = all local)
     donate_state: bool = True           # donate train-state buffers to the jitted step
     resume_from: Optional[str] = None   # orbax checkpoint dir to resume from
+    init_vae_from: Optional[str] = None # orbax ckpt dir to warm-start ONLY the
+    #                                     encoder/decoder from (pretrain-VAE ->
+    #                                     KVAE flow, reference vae/weights.py)
+    add_noise_std: float = 0.0          # additive-noise data transform (train
+    #                                     only), lifted from the YAML
+    #                                     `transforms:` section; applied on
+    #                                     device inside the jitted step
     profile_steps: int = 0              # if >0, capture a jax.profiler trace of N steps
+    fused_epochs: Any = "auto"          # "auto" | true | false — whole-epoch XLA
+    #                                     fusion (needs device-resident data; auto =
+    #                                     on when the loader supports it)
     debug_nans: bool = False            # dev mode: jax_debug_nans (fail fast at the
     #                                     op that produced a NaN; disables fusion wins)
 
@@ -141,13 +151,19 @@ def load_config(path: str | Path) -> Dict[str, Any]:
 def parse_config_dict(raw: Dict[str, Any]) -> Dict[str, Any]:
     kvae = KVAEConfig(**_filter_fields(KVAEConfig, raw.get("kvae", {}) or {}))
     training = TrainingConfig(**_filter_fields(TrainingConfig, raw.get("training", {}) or {}))
+    transforms = raw.get("transforms", {}) or {}
+    # The reference applies transforms via a host-side TransformDataset
+    # wrapper (kvae/vae/train_vae.py:241-251,286-296); here they run on
+    # device inside the jitted train step, so lift the spec into the
+    # training config.
+    training.add_noise_std = float(transforms.get("add_noise_std", 0.0))
     ds_raw = dict(raw.get("dataset", {}) or {})
     dataset = DatasetConfig(**_filter_fields(DatasetConfig, ds_raw))
     return {
         "kvae": kvae,
         "training": training,
         "dataset": dataset,
-        "transforms": raw.get("transforms", {}) or {},
+        "transforms": transforms,
         "raw": raw,
     }
 

@@ -146,6 +146,12 @@ def build_dataset(cfg: DatasetConfig) -> NPZVideoDataset:
         # The XLA generator is ~30x the numpy path even on the CPU backend
         # (and runs on-chip on TPU); numpy remains as the reference
         # implementation (generate_on_device: false) and for equivalence tests.
+        # Caveat: the device path integrates in fp32 vs numpy's fp64; on
+        # boundary-grazing trajectories a near-wall bounce decision can flip
+        # and the two datasets diverge beyond the last ulp over long
+        # sequences. An 80-epoch A/B on the flagship config measured no
+        # quality difference (smoothed-imputation MSE 3.43e-2 on-device vs
+        # 3.46e-2 numpy, identical schedule) — see PARITY.md.
         on_device = kwargs.get("generate_on_device", True)
         if on_device == "auto":
             on_device = jax.default_backend() != "cpu"
@@ -189,7 +195,9 @@ def build_dataloaders(
 
     if device_resident is None:
         single = sharding is None or len(sharding.device_set) == 1
-        nbytes = dataset.seq_data.size * 4
+        # 2x: the fused epoch runner holds the dataset AND its per-epoch
+        # shuffled permutation in HBM at once (train/state.py epoch_run)
+        nbytes = 2 * dataset.seq_data.size * 4
         device_resident = single and nbytes <= _DEVICE_RESIDENT_LIMIT_BYTES
 
     if device_resident:

@@ -59,3 +59,36 @@ def restore_train_state(checkpoint_path: str | Path, target: TrainState) -> Trai
     ckptr = ocp.StandardCheckpointer()
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
     return ckptr.restore(Path(checkpoint_path).resolve(), abstract)
+
+
+def warm_start_vae(checkpoint_path: str | Path, state: TrainState) -> TrainState:
+    """Initialize ONLY the encoder/decoder params from another run's orbax
+    checkpoint — the reference's pretrain-VAE -> load-into-KVAE flow
+    (kvae/vae/weights.py:13-70), for checkpoints produced by THIS framework
+    (train_vae.py or any KVAE run). Restores the raw tree (no template), so
+    the source run may differ in dynamics model / optimizer — only the
+    encoder/decoder subtrees must match the target architecture."""
+    ckptr = ocp.StandardCheckpointer()
+    raw = ckptr.restore(Path(checkpoint_path).resolve())
+    src = raw["params"] if "params" in raw else raw
+    new_params = dict(state.params)
+    for name in ("encoder", "decoder"):
+        if name not in src:
+            raise KeyError(
+                f"no '{name}' subtree in {checkpoint_path} "
+                f"(found: {sorted(src.keys())})"
+            )
+
+        def check(tgt, got, _name=name):
+            if tgt.shape != got.shape:
+                raise ValueError(
+                    f"warm-start shape mismatch in '{_name}': "
+                    f"{got.shape} vs expected {tgt.shape} — encoder/decoder "
+                    f"architecture must match the checkpoint's"
+                )
+            return jax.numpy.asarray(got, tgt.dtype)
+
+        new_params[name] = jax.tree.map(check, state.params[name], src[name])
+        n = sum(x.size for x in jax.tree.leaves(new_params[name]))
+        logger.info(f"warm-started '{name}' from {checkpoint_path} ({n} params)")
+    return state.replace(params=type(state.params)(new_params))

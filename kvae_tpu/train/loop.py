@@ -85,6 +85,20 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
     if tcfg.resume_from:
         state = ckpt_lib.restore_train_state(tcfg.resume_from, state)
         logger.info(f"resumed from {tcfg.resume_from} at epoch {int(state.epoch)}")
+    elif tcfg.init_vae_from:
+        state = ckpt_lib.warm_start_vae(tcfg.init_vae_from, state)
+
+    if len(mesh.devices.flat) > 1:
+        # Pin the TrainState replicated over the data mesh (params stay
+        # replicated; XLA all-reduces grads when the step consumes batches
+        # sharded by `data_sharding`).
+        from kvae_tpu.parallel.mesh import replicate_state
+
+        state = replicate_state(state, mesh)
+        logger.info(
+            f"data-parallel: state replicated over {len(mesh.devices.flat)} "
+            "devices, batches sharded on the 'data' axis"
+        )
 
     train_step = make_train_step(model, cfg, tcfg, tx)
     eval_step = make_eval_step(model, cfg, tcfg)
@@ -98,12 +112,20 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
     from kvae_tpu.train.state import make_epoch_runner, make_eval_epoch_runner
 
     fused_epochs = (
-        isinstance(train_loader, DeviceDataLoader) and tcfg.profile_steps == 0
+        isinstance(train_loader, DeviceDataLoader)
+        and tcfg.profile_steps == 0
+        and tcfg.fused_epochs in ("auto", True)
     )
     if fused_epochs:
         epoch_run = make_epoch_runner(model, cfg, tcfg, tx)
         eval_epoch_run = make_eval_epoch_runner(model, cfg, tcfg)
         logger.info("fused-epoch mode: one XLA program per train/eval epoch")
+    else:
+        logger.info(
+            "stepwise mode: per-batch dispatch "
+            f"(fused_epochs={tcfg.fused_epochs!r}, "
+            f"device_resident={isinstance(train_loader, DeviceDataLoader)})"
+        )
 
     eval_key = jax.random.PRNGKey(tcfg.seed + 1)
     profiled = False
@@ -156,6 +178,10 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
         train_metrics["steps_per_sec"] = steps_per_sec
 
         # ---- eval epoch (fully observed) ----
+        # RNG note: fused mode derives per-batch keys as fold_in(key, i) and
+        # advances eval_key once per epoch; stepwise splits eval_key once per
+        # batch. Eval metrics are therefore not bit-comparable across the two
+        # modes (sampling noise only; distributions are identical).
         if fused_epochs:
             eval_key, k = jax.random.split(eval_key)
             order = jnp.asarray(val_loader.epoch_order())
@@ -253,10 +279,15 @@ def main():
     p.add_argument("--config", type=str, default="configs/kvae_ball.yaml")
     p.add_argument("--resume", type=str, default=None,
                    help="orbax checkpoint dir to resume from")
+    p.add_argument("--init-vae-from", type=str, default=None,
+                   help="orbax checkpoint dir to warm-start encoder/decoder "
+                        "from (pretrain-VAE -> KVAE flow)")
     args = p.parse_args()
     config = load_config(args.config)
     if args.resume:
         config["training"].resume_from = args.resume
+    if args.init_vae_from:
+        config["training"].init_vae_from = args.init_vae_from
     result = train(config)
     print(f"best val loss: {result['best_val']:.6f} ({result['runs_dir']})")
 

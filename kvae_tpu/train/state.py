@@ -98,7 +98,14 @@ def make_raw_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         beta, tau, lr = _schedules(cfg, tcfg, state.epoch)
         kf_weight = phases_lib.kf_weight_for_phase(phase)
-        key, k_sample, k_gumbel = jax.random.split(state.key, 3)
+        key, k_sample, k_gumbel, k_noise = jax.random.split(state.key, 4)
+        if tcfg.add_noise_std > 0:
+            # `transforms: add_noise_std` — the reference's host-side
+            # TransformDataset additive noise (kvae/vae/train_vae.py:241-251)
+            # applied on device: fresh noise per step, train path only.
+            x = x + tcfg.add_noise_std * jax.random.normal(
+                k_noise, x.shape, x.dtype
+            )
 
         def loss_fn(params):
             losses, _ = model.apply(
@@ -121,6 +128,11 @@ def make_raw_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
             "loss": losses["loss"],
             "elbo_kf": losses["elbo_kf"],
             "elbo_vae_total": losses["elbo_vae_total"],
+            # reference tag names (posterior_collapse.ipynb reads train|val/kl_vae).
+            # losses["kl"] is the ELBO regularizer E[log p(a) - log q(a|x)]
+            # = -KL; the logged curve is the positive divergence.
+            "kl_vae": -losses["kl"],
+            "recon": losses["recon"],
             "active_units": losses["active_units"].astype(jnp.float32),
             "grad_norm": optax.global_norm(grads),
             "learning_rate": lr,
@@ -203,6 +215,8 @@ def make_eval_epoch_runner(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig):
                 "loss": losses["loss"],
                 "elbo_kf": losses["elbo_kf"],
                 "elbo_vae_total": losses["elbo_vae_total"],
+                "kl_vae": -losses["kl"],
+                "recon": losses["recon"],
                 "active_units": losses["active_units"].astype(jnp.float32),
                 "latent_var_0": losses["latent_variances"][0],
                 "latent_var_1": losses["latent_variances"][min(1, cfg.a_dim - 1)],
@@ -248,6 +262,8 @@ def make_eval_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig):
             "loss": losses["loss"],
             "elbo_kf": losses["elbo_kf"],
             "elbo_vae_total": losses["elbo_vae_total"],
+            "kl_vae": -losses["kl"],
+            "recon": losses["recon"],
             "active_units": losses["active_units"].astype(jnp.float32),
             "latent_var_0": losses["latent_variances"][0],
             "latent_var_1": losses["latent_variances"][

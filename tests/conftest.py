@@ -28,6 +28,14 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers",
+        "slow: long-running test (Pallas interpret mode / long sequences); "
+        "excluded from `make test`, run in CI via `make test-all`",
+    )
+
+
 def pytest_addoption(parser):
     # Mirror the reference's --no-stability flag (reference tests/conftest.py:4-18)
     parser.addoption(
