@@ -68,6 +68,7 @@ def test_assoc_smoother_equals_sequential(rng, masked):
     )
 
 
+@pytest.mark.slow
 def test_assoc_elbo_matches_sequential(rng):
     s = _random_lgssm(rng, batch=2, T=10)
     params, dyn = _params(s), _to_seq_dynamics(s, 2)
@@ -78,6 +79,7 @@ def test_assoc_elbo_matches_sequential(rng):
     np.testing.assert_allclose(float(e_seq), float(e_par), rtol=1e-3)
 
 
+@pytest.mark.slow
 def test_assoc_differentiable(rng):
     s = _random_lgssm(rng, batch=2, T=8)
     params, dyn = _params(s), _to_seq_dynamics(s, 2)
@@ -93,6 +95,7 @@ def test_assoc_differentiable(rng):
     np.testing.assert_allclose(np.asarray(g_par), np.asarray(g_seq), rtol=5e-3, atol=1e-4)
 
 
+@pytest.mark.slow
 def test_assoc_long_sequence_stability(rng):
     """T=200: the scaling regime this path exists for."""
     s = _random_lgssm(rng, batch=1, T=64)

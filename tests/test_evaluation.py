@@ -2,6 +2,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from kvae_tpu.config import KVAEConfig, TrainingConfig
 from kvae_tpu.train.evaluation import (
@@ -23,6 +24,7 @@ def test_foip_exact_counts():
     np.testing.assert_allclose(float(foip2), 0.0, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_foip_step_and_sweep(rng):
     cfg = KVAEConfig(dynamics_model="switching", num_modes=2)
     tcfg = TrainingConfig(batch_size=4, donate_state=False)

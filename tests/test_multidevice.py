@@ -36,6 +36,7 @@ def test_mesh_helpers():
     assert make_mesh_for_batch(7).shape["data"] == 7
 
 
+@pytest.mark.slow
 def test_data_parallel_step_matches_single_device():
     cfg, tcfg, model, state, tx, x = _setup()
     train_step = make_train_step(model, cfg, tcfg, tx)
@@ -90,6 +91,7 @@ print(f"DIST_OK {idx}", flush=True)
 '''
 
 
+@pytest.mark.slow
 def test_init_distributed_two_processes(tmp_path):
     """Real multi-process init over localhost — the DCN story without a pod:
     2 processes x 4 virtual CPU devices form one 8-device global mesh; a

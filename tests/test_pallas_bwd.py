@@ -9,6 +9,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: minutes per call on CPU
+
 from kvae_tpu.ops.lgssm import lgssm_smooth
 from kvae_tpu.ops.pallas_kf_bwd import lgssm_smooth_pallas_adjoint
 from tests.test_lgssm import _params, _random_lgssm, _to_seq_dynamics

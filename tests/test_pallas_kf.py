@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernels: minutes per call on CPU
+
 from kvae_tpu.ops.lgssm import lgssm_filter, lgssm_smooth
 from kvae_tpu.ops.pallas_kf import lgssm_filter_pallas, lgssm_smooth_pallas
 from tests.test_lgssm import _params, _random_lgssm, _to_seq_dynamics

@@ -203,6 +203,7 @@ def test_checkpoint_roundtrip(tmp_path):
     assert int(best.step) == int(state.step) + 5
 
 
+@pytest.mark.slow
 def test_mini_training_converges(tmp_path):
     """End-to-end: the harness on generated data must cut the loss >= 2x in
     a few epochs (the reference's core promise)."""
@@ -234,6 +235,7 @@ def test_mini_training_converges(tmp_path):
     assert losses[2] < losses[1] * 0.7, losses
 
 
+@pytest.mark.slow
 def test_vae_pretrain_then_kvae_warm_start(tmp_path):
     """The reference two-config flow (pretrain VAE -> load_vae_weights ->
     KVAE, kvae/vae/weights.py:13-70) inside this framework: a VAE-only run
@@ -315,6 +317,7 @@ def test_warm_start_rejects_mismatched_arch(tmp_path):
         warm_start_vae(tmp_path / "ck" / "kvae-best", state_b)
 
 
+@pytest.mark.slow
 def test_train_multidevice_matches_single(tmp_path):
     """End-to-end `train()` on the virtual 8-device mesh: the TrainState is
     replicated over the mesh, batches are sharded on the 'data' axis, and
