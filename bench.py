@@ -103,9 +103,12 @@ def main():
         "steps_per_sec_per_chip": round(sps / n_chips, 3),
     })
 
-    # 3. scaling config: T=100, B=128, z=8 (configs/scaling_t100.yaml shapes)
+    # 3. scaling config: T=100, B=128, z=8 (configs/scaling_t100.yaml shapes).
+    # bfloat16 conv/MLP path: 13% faster in this throughput-bound regime
+    # (22.3 vs 25.6 ms/step, PARITY.md); KF numerics stay float32.
     cfg = KVAEConfig(dynamics_model="switching", num_modes=3, a_dim=4, z_dim=8,
-                     out_distr="bernoulli", filter_impl="auto")
+                     out_distr="bernoulli", filter_impl="auto",
+                     compute_dtype="bfloat16")
     tcfg = TrainingConfig(batch_size=128, T=100)
     sps, compile_s, loss = bench_config(cfg, tcfg, data(128, 100), 100, 3)
     print(f"scaling_t100: compile+warmup={compile_s:.1f}s loss={loss:.3f} "

@@ -2,6 +2,8 @@
 kvae/utils/utils_plots.py and kvae/train/utils.py:132-162)."""
 from __future__ import annotations
 
+from pathlib import Path
+
 import numpy as np
 
 
@@ -70,10 +72,11 @@ def plot_state_probabilities(state_probs):
     return fig
 
 
-def save_frames(x: np.ndarray, filename: str, fps: int = 10):
-    """Save a [T,H,W(,C)] sequence as mp4 (reference kvae/train/testing.py:
+def save_frames(x: np.ndarray, filename: str, fps: int = 10) -> str:
+    """Save a [T,H,W(,C)] sequence as video (reference kvae/train/testing.py:
     39-74 semantics: normalize to uint8, pad H/W to multiples of 16).
-    Requires imageio; gated."""
+    Requires imageio; gated. Falls back to GIF (PIL backend, always present)
+    when no mp4 encoder is installed. Returns the path actually written."""
     import imageio
 
     arr = np.asarray(x)
@@ -90,4 +93,12 @@ def save_frames(x: np.ndarray, filename: str, fps: int = 10):
     pad_h, pad_w = (-h) % 16, (-w) % 16
     if pad_h or pad_w:
         arr = np.pad(arr, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
-    imageio.mimwrite(filename, arr, fps=fps)
+    try:
+        imageio.mimwrite(filename, arr, fps=fps)
+    except (ValueError, ImportError):
+        # no mp4 encoder (ffmpeg/pyav) in this environment — GIF via PIL
+        filename = str(Path(filename).with_suffix(".gif"))
+        if arr.shape[-1] == 1:  # PIL needs [T,H,W] or [T,H,W,3]
+            arr = arr[..., 0]
+        imageio.mimwrite(filename, arr, duration=1000 / fps, loop=0)
+    return filename

@@ -330,3 +330,57 @@ def test_kvae_whole_forward_jits(rng):
     l2 = step(variables["params"], x, jnp.asarray(0.7), jnp.asarray(0.9))
     assert np.isfinite(float(l1)) and np.isfinite(float(l2))
     assert step._cache_size() == 1
+
+
+def test_kvae_bfloat16_compute_path(rng):
+    """compute_dtype="bfloat16" (the MXU-native conv/MLP policy; 17% step
+    speedup at B=256 on a v5e, PARITY.md) must keep params/outputs float32
+    and stay close to the float32 path — same init (param_dtype is float32
+    in both), loose tolerance on loss and gradients."""
+    x = _x(rng)
+    rngs = {"sample": jax.random.PRNGKey(3), "gumbel": jax.random.PRNGKey(4)}
+
+    results = {}
+    for dt in ("float32", "bfloat16"):
+        cfg = _cfg(dynamics_model="lstm", compute_dtype=dt)
+        model, variables = _init_kvae(cfg, x)
+        assert all(
+            np.asarray(l).dtype == np.float32
+            for l in jax.tree.leaves(variables["params"])
+        ), "params must stay float32 regardless of compute_dtype"
+
+        def loss_fn(params):
+            losses, outputs = model.apply(
+                {"params": params}, x, tau=jnp.asarray(1.0),
+                beta=jnp.asarray(1.0), train=True, rngs=rngs,
+                method=KVAE.forward_and_loss,
+            )
+            return losses["loss"], outputs
+
+        (val, outputs), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            variables["params"]
+        )
+        assert outputs["x_recon"].dtype == jnp.float32
+        assert outputs["a_samples"].dtype == jnp.float32
+        assert np.isfinite(float(val))
+        assert all(
+            np.all(np.isfinite(np.asarray(l))) for l in jax.tree.leaves(grads)
+        )
+        results[dt] = (float(val), grads)
+
+    l32, g32 = results["float32"]
+    l16, g16 = results["bfloat16"]
+    # bf16 rounding moves the Bernoulli ELBO only slightly at these scales
+    np.testing.assert_allclose(l16, l32, rtol=5e-3)
+    # gradient direction must agree per-leaf (cosine similarity)
+    for (p32, a), (p16, b) in zip(
+        jax.tree_util.tree_flatten_with_path(g32)[0],
+        jax.tree_util.tree_flatten_with_path(g16)[0],
+    ):
+        assert p32 == p16
+        a, b = np.asarray(a).ravel(), np.asarray(b).ravel()
+        na, nb = np.linalg.norm(a), np.linalg.norm(b)
+        if na < 1e-7 or nb < 1e-7:
+            continue
+        cos = float(a @ b / (na * nb))
+        assert cos > 0.98, (jax.tree_util.keystr(p32), cos)
