@@ -177,7 +177,11 @@ def build_dataset(cfg: DatasetConfig) -> NPZVideoDataset:
     raise NotImplementedError(f"Unsupported dataset type: {cfg.type}")
 
 
-_DEVICE_RESIDENT_LIMIT_BYTES = 2 << 30  # keep well under one chip's HBM
+# Bound on (dataset + its per-epoch permuted copy) in HBM. 6 GiB admits the
+# T=100 scaling dataset (5000 x 100 frames = 2.05 GB, doubled by the fused
+# epoch runner's permute) while leaving >9 GiB of a v5e's 16 GiB for
+# activations — the B=128 T=100 train step is measured well within that.
+_DEVICE_RESIDENT_LIMIT_BYTES = 6 << 30
 
 
 def build_dataloaders(
