@@ -30,6 +30,19 @@ REFERENCE_STEPS_PER_SEC = 2.625  # measured: /root/reference train step, CPU, bs
 WARMUP_STEPS = 10
 
 
+def _step_flops(train_step, state, x):
+    """Optimized-HLO FLOP count of the compiled step (XLA cost analysis);
+    None if the backend doesn't expose it."""
+    try:
+        ca = train_step.lower(state, x, "all").compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        return flops if flops > 0 else None
+    except Exception:
+        return None
+
+
 def bench_config(cfg, tcfg, x, timed_steps, windows):
     """Median-window steps/s with one hard value-fetch sync per window
     (block_until_ready does not synchronize on tunneled backends)."""
@@ -43,6 +56,8 @@ def bench_config(cfg, tcfg, x, timed_steps, windows):
         state, metrics = train_step(state, x, "all")
     loss = float(metrics["loss"])
     compile_s = time.perf_counter() - t0
+    # after warmup so the cost-analysis lowering hits the compilation cache
+    flops = _step_flops(train_step, state, x)
 
     rates = []
     for _ in range(windows):
@@ -52,7 +67,16 @@ def bench_config(cfg, tcfg, x, timed_steps, windows):
         float(metrics["loss"])  # hard sync
         rates.append(timed_steps / (time.perf_counter() - t0))
     steps_per_sec = sorted(rates)[len(rates) // 2]
-    return steps_per_sec, compile_s, loss
+    return steps_per_sec, compile_s, loss, flops
+
+
+def _throughput_extras(sps, flops):
+    """Achieved model TFLOP/s from the XLA cost analysis (absolute hardware
+    utilization evidence; peak-relative MFU is deliberately not claimed — the
+    step mixes f32 KF numerics with bf16 convs, so no single peak applies)."""
+    if flops is None:
+        return {}
+    return {"tflops_per_sec_achieved": round(flops * sps / 1e12, 3)}
 
 
 def main():
@@ -78,7 +102,7 @@ def main():
     cfg = KVAEConfig(dynamics_model="lstm", num_modes=3, a_dim=2, z_dim=4,
                      out_distr="bernoulli", filter_impl="auto")
     tcfg = TrainingConfig(batch_size=32, T=20)
-    sps, compile_s, loss = bench_config(cfg, tcfg, data(32, 20), 500, 5)
+    sps, compile_s, loss, flops = bench_config(cfg, tcfg, data(32, 20), 500, 5)
     print(f"headline: compile+warmup={compile_s:.1f}s loss={loss:.3f} "
           f"{sps:.2f} steps/s on {jax.devices()[0]}", file=sys.stderr)
     lines.append({
@@ -87,13 +111,14 @@ def main():
         "vs_baseline": round(sps / REFERENCE_STEPS_PER_SEC, 2),
         "ms_per_step": round(1000.0 / sps, 3),
         "steps_per_sec_per_chip": round(sps / n_chips, 3),
+        **_throughput_extras(sps, flops),
     })
 
     # 2. SKVAE (switching dynamics), same shapes
     cfg = KVAEConfig(dynamics_model="switching", num_modes=3, a_dim=2, z_dim=4,
                      out_distr="bernoulli", filter_impl="auto")
     tcfg = TrainingConfig(batch_size=32, T=20)
-    sps, compile_s, loss = bench_config(cfg, tcfg, data(32, 20), 300, 3)
+    sps, compile_s, loss, flops = bench_config(cfg, tcfg, data(32, 20), 300, 3)
     print(f"skvae: compile+warmup={compile_s:.1f}s loss={loss:.3f} "
           f"{sps:.2f} steps/s", file=sys.stderr)
     lines.append({
@@ -101,6 +126,7 @@ def main():
         "unit": "steps/s", "vs_baseline": None,
         "ms_per_step": round(1000.0 / sps, 3),
         "steps_per_sec_per_chip": round(sps / n_chips, 3),
+        **_throughput_extras(sps, flops),
     })
 
     # 3. scaling config: T=100, B=128, z=8 (configs/scaling_t100.yaml shapes).
@@ -110,7 +136,7 @@ def main():
                      out_distr="bernoulli", filter_impl="auto",
                      compute_dtype="bfloat16")
     tcfg = TrainingConfig(batch_size=128, T=100)
-    sps, compile_s, loss = bench_config(cfg, tcfg, data(128, 100), 100, 3)
+    sps, compile_s, loss, flops = bench_config(cfg, tcfg, data(128, 100), 100, 3)
     print(f"scaling_t100: compile+warmup={compile_s:.1f}s loss={loss:.3f} "
           f"{1000.0 / sps:.2f} ms/step", file=sys.stderr)
     lines.append({
@@ -118,6 +144,7 @@ def main():
         "unit": "ms/step", "vs_baseline": None,
         "steps_per_sec": round(sps, 3),
         "steps_per_sec_per_chip": round(sps / n_chips, 3),
+        **_throughput_extras(sps, flops),
     })
 
     for line in lines:

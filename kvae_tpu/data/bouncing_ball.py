@@ -122,7 +122,7 @@ def generate_bouncing_ball_device(
     device' capability for data-hungry sweeps. Initial conditions come from
     the same numpy RNG stream, so a given seed describes the same episode
     set; frame values may differ from the numpy render in the last float32
-    ulp."""
+    ulp. Returns jax device arrays (host callers: np.asarray)."""
     import jax
     import jax.numpy as jnp
 
@@ -183,9 +183,13 @@ def generate_bouncing_ball_device(
         return jnp.swapaxes(imgs, 0, 1), jnp.swapaxes(states, 0, 1)
 
     imgs, states = run(jnp.asarray(pos0), jnp.asarray(vel0))
+    # Return the device arrays themselves — the dataset/loader stack keeps
+    # them in HBM (npz_dataset.materialize gathers on device); np.asarray on
+    # the caller side fetches to host when actually needed. A forced host
+    # round trip here costs minutes for GB-scale datasets on tunneled TPUs.
     return {
-        "images": np.asarray(imgs, dtype=dtype),
-        "state": np.asarray(states, dtype=np.float32),
+        "images": imgs.astype(dtype),
+        "state": states,
     }
 
 

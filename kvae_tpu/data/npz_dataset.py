@@ -46,7 +46,13 @@ class NPZVideoDataset:
             raise KeyError(
                 f"Image key '{self.image_key}' not in NPZ. Available: {list(self.raw)}"
             )
-        imgs = np.asarray(self.raw[self.image_key])
+        # Keep device (jax) arrays as-is: on-device-generated datasets flow
+        # through shape normalization, the split gather (materialize) and the
+        # DeviceDataLoader without ever leaving HBM — a forced np.asarray here
+        # would round-trip gigabytes through the host (slow on tunneled TPUs).
+        imgs = self.raw[self.image_key]
+        if not hasattr(imgs, "ndim"):
+            imgs = np.asarray(imgs)
 
         if imgs.ndim == 5:
             seq = imgs
@@ -73,7 +79,9 @@ class NPZVideoDataset:
 
         self.state_data = None
         if self.state_key is not None and self.state_key in self.raw:
-            states = np.asarray(self.raw[self.state_key])
+            states = self.raw[self.state_key]
+            if not hasattr(states, "ndim"):
+                states = np.asarray(states)
             if states.ndim != 3:
                 raise ValueError(f"Expected state (N,T,D), got {states.shape}")
             if states.shape[:2] != (self.N, self.T):
