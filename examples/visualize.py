@@ -95,6 +95,9 @@ def main():
     p.add_argument("--checkpoint", default="kvae-best")
     p.add_argument("--warmup", type=int, default=4, help="generation warmup frames")
     p.add_argument("--gen-steps", type=int, default=16)
+    p.add_argument("--batch", type=int, default=None,
+                   help="visualize only the first N sequences (cheap CPU "
+                        "compile for big-batch configs)")
     args = p.parse_args()
 
     import jax
@@ -114,6 +117,8 @@ def main():
 
     _, val_loader = build_dataloaders(dcfg, tcfg.batch_size, seed=tcfg.seed)
     x = next(iter(val_loader))["images"]
+    if args.batch:
+        x = x[: args.batch]
     model, state, _ = create_train_state(cfg, tcfg, x)
     state = Checkpointer(run_dir / "checkpoints", 0).restore(args.checkpoint, state)
     print(f"restored {args.checkpoint} at epoch {int(state.epoch)}")
