@@ -108,6 +108,13 @@ class TrainingConfig:
 
     # --- TPU-native knobs ---
     num_devices: Optional[int] = None   # data-parallel width (None = all local)
+    time_devices: int = 0               # sequence-parallel width: if > 1 the
+    #                                     trainer builds a 2D (data x time)
+    #                                     mesh, shards [B, T, ...] batches on
+    #                                     both axes and runs the Kalman
+    #                                     filter/smoother time-sharded
+    #                                     (filter_impl is forced to "seqpar").
+    #                                     Requires T % time_devices == 0.
     donate_state: bool = True           # donate train-state buffers to the jitted step
     resume_from: Optional[str] = None   # orbax checkpoint dir to resume from
     init_vae_from: Optional[str] = None # orbax ckpt dir to warm-start ONLY the

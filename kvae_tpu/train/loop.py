@@ -62,8 +62,41 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
         yaml.safe_dump(config.get("raw", {}), f)
     ckpt = ckpt_lib.Checkpointer(runs_dir / "checkpoints", tcfg.ckpt_every)
 
-    mesh = make_mesh_for_batch(tcfg.batch_size, tcfg.num_devices)
-    data_sharding = batch_sharding(mesh)
+    if tcfg.time_devices and tcfg.time_devices > 1:
+        # 2D (data x time) mesh: batch sharded over 'data', the sequence axis
+        # over 'time' — the Kalman filter/smoother runs time-sharded via
+        # parallel/seqpar (ppermute prefix exchange, O(B n^2) bytes/hop).
+        import dataclasses
+
+        from kvae_tpu.parallel.seqpar import make_data_time_mesh, time_sharding
+
+        n_dev = len(jax.devices())
+        d_time = tcfg.time_devices
+        if n_dev % d_time != 0:
+            raise ValueError(
+                f"time_devices={d_time} must divide the device count {n_dev}"
+            )
+        if tcfg.T % d_time != 0:
+            raise ValueError(
+                f"time_devices={d_time} must divide the sequence length T={tcfg.T}"
+            )
+        limit = n_dev // d_time
+        if tcfg.num_devices:
+            limit = min(limit, tcfg.num_devices)
+        d_data = max(d for d in range(1, limit + 1) if tcfg.batch_size % d == 0)
+        mesh = make_data_time_mesh(d_data, d_time)
+        data_sharding = time_sharding(mesh, batch_axis="data")
+        if cfg.filter_impl != "seqpar":
+            cfg = dataclasses.replace(cfg, filter_impl="seqpar")
+            logger.info(
+                f"time_devices={d_time}: filter_impl forced to 'seqpar' "
+                f"(2D {d_data}x{d_time} data x time mesh)"
+            )
+        seq_mesh = mesh
+    else:
+        mesh = make_mesh_for_batch(tcfg.batch_size, tcfg.num_devices)
+        data_sharding = batch_sharding(mesh)
+        seq_mesh = None
     logger.info(f"devices: {jax.devices()} mesh: {mesh}")
 
     train_loader, val_loader = build_dataloaders(
@@ -81,7 +114,7 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
         )
 
     sample_batch = next(iter(train_loader))["images"]
-    model, state, tx = create_train_state(cfg, tcfg, sample_batch)
+    model, state, tx = create_train_state(cfg, tcfg, sample_batch, seq_mesh=seq_mesh)
     if tcfg.resume_from:
         state = ckpt_lib.restore_train_state(tcfg.resume_from, state)
         logger.info(f"resumed from {tcfg.resume_from} at epoch {int(state.epoch)}")

@@ -60,9 +60,18 @@ def create_train_state(
     tcfg: TrainingConfig,
     sample_batch: jax.Array,
     seed: Optional[int] = None,
+    seq_mesh=None,
 ) -> Tuple[KVAE, TrainState, optax.GradientTransformation]:
+    """`seq_mesh`: optional (data x time) jax.sharding.Mesh; when given the
+    model's filter/smoother run time-sharded over its 'time' axis
+    (filter_impl="seqpar", see parallel/seqpar.py)."""
     seed = tcfg.seed if seed is None else seed
-    model = KVAE(cfg)
+    if seq_mesh is not None:
+        model = KVAE(
+            cfg, seq_mesh=seq_mesh, seq_time_axis="time", seq_batch_axis="data"
+        )
+    else:
+        model = KVAE(cfg)
     root = jax.random.PRNGKey(seed)
     k_params, k_sample, k_gumbel, k_state = jax.random.split(root, 4)
     variables = model.init(

@@ -357,3 +357,46 @@ def test_train_multidevice_matches_single(tmp_path):
     l1 = run("mesh1", 1)
     assert len(l8) == len(l1) == 2
     np.testing.assert_allclose(l8, l1, rtol=2e-3)
+
+
+def test_train_2d_data_time_mesh(tmp_path):
+    """End-to-end `train()` on a 2D (data x time) mesh from config alone:
+    `time_devices: 2` makes the trainer build a 4x2 mesh, shard [B, T, ...]
+    batches on both axes, force filter_impl='seqpar' (time-sharded
+    filter/smoother), and finish with losses close to the 1D data-parallel
+    run (seqpar computes the same smoother as scan up to fp32 associativity,
+    tests/test_seqpar.py)."""
+    import json
+
+    from kvae_tpu.config import parse_config_dict
+    from kvae_tpu.train.loop import train
+
+    def run(name, extra):
+        raw = {
+            "dataset": {"type": "bouncing_ball", "val_split": 0.25,
+                        "kwargs": {"num_sequences": 32, "seq_len": 4,
+                                   "img_size": 32, "seed": 0}},
+            "training": {"max_epochs": 2, "batch_size": 8, "lr": 3e-3,
+                         "pretrain_vae_epochs": 1, "warmup_epochs": 1,
+                         "ckpt_every": 0, "logdir": str(tmp_path), "seed": 3,
+                         "T": 4, "fused_epochs": False, **extra},
+            "kvae": {"dynamics_model": "switching", "num_modes": 2},
+        }
+        train(parse_config_dict(raw), runs_dir=tmp_path / name)
+        losses = []
+        with open(tmp_path / name / "metrics.jsonl") as f:
+            for line in f:
+                rec = json.loads(line)
+                if rec.get("split") == "train" and "loss" in rec:
+                    losses.append(rec["loss"])
+        return losses
+
+    import jax as _jax
+    assert len(_jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    l2d = run("mesh4x2", {"time_devices": 2})
+    l1d = run("mesh4x1", {"num_devices": 4})
+    assert len(l2d) == len(l1d) == 2
+    assert np.all(np.isfinite(l2d))
+    np.testing.assert_allclose(l2d, l1d, rtol=2e-2)
+    log = (tmp_path / "mesh4x2" / "train.log").read_text()
+    assert "seqpar" in log and "data x time mesh" in log
