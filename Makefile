@@ -3,10 +3,12 @@ LOGDIR ?= runs
 
 .PHONY: test test-all bench train board fixtures
 
-# Fast suite (<10 min): every correctness gate; excludes the `slow`-marked
-# Pallas interpret-mode / long-sequence tests.
+# Fast suite: every correctness gate; excludes the `slow`-marked Pallas
+# interpret-mode / long-sequence / end-to-end-duplicate tests. <10 min on a
+# multicore host (xdist); ~13 min single-core. First run pays XLA compiles;
+# a persistent compile cache (conftest) makes re-runs cheaper.
 test:
-	python -m pytest tests/ -q -m "not slow"
+	python -m pytest tests/ -q -m "not slow" -n auto --dist loadfile
 
 # Full suite including slow tests (CI / pre-release; ~1 h on CPU).
 test-all:

@@ -45,27 +45,17 @@ from kvae_tpu.train.state import create_train_state, make_eval_step, make_train_
 from kvae_tpu.train.testing import kalman_prediction_test, make_prediction_test_step
 
 
-def train(config: dict, runs_dir: Path | None = None) -> dict:
-    """Run a full training; returns {'best_val': ..., 'runs_dir': ...}."""
-    cfg, tcfg, dcfg = config["kvae"], config["training"], config["dataset"]
+def select_mesh(cfg, tcfg, logger=None):
+    """Mesh selection for the trainer: 1D data-parallel by default; with
+    `training.time_devices: N > 1` a 2D (data x time) mesh — batch sharded
+    over 'data', the sequence axis over 'time', the Kalman filter/smoother
+    time-sharded via parallel/seqpar (ppermute prefix exchange,
+    O(B n^2) bytes/hop), filter_impl forced to 'seqpar'.
 
-    if tcfg.debug_nans:
-        # Dev mode (SURVEY §5): fail at the op that produced a NaN instead of
-        # the reference's silent _safe_cholesky escape hatch.
-        jax.config.update("jax_debug_nans", True)
-
-    runs_dir = Path(runs_dir) if runs_dir else create_runs_dir(tcfg.logdir)
-    runs_dir.mkdir(parents=True, exist_ok=True)
-    logger = setup_logging(str(runs_dir / "train.log"))
-    writer = MetricsWriter(runs_dir)
-    with open(runs_dir / "config.yaml", "w") as f:
-        yaml.safe_dump(config.get("raw", {}), f)
-    ckpt = ckpt_lib.Checkpointer(runs_dir / "checkpoints", tcfg.ckpt_every)
-
+    Returns (cfg, mesh, data_sharding, seq_mesh); cfg may be replaced.
+    Unit-tested directly (tests/test_train.py); the end-to-end 2D trainer
+    runs are the slow-marked integration tests."""
     if tcfg.time_devices and tcfg.time_devices > 1:
-        # 2D (data x time) mesh: batch sharded over 'data', the sequence axis
-        # over 'time' — the Kalman filter/smoother runs time-sharded via
-        # parallel/seqpar (ppermute prefix exchange, O(B n^2) bytes/hop).
         import dataclasses
 
         from kvae_tpu.parallel.seqpar import make_data_time_mesh, time_sharding
@@ -88,15 +78,34 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
         data_sharding = time_sharding(mesh, batch_axis="data")
         if cfg.filter_impl != "seqpar":
             cfg = dataclasses.replace(cfg, filter_impl="seqpar")
-            logger.info(
-                f"time_devices={d_time}: filter_impl forced to 'seqpar' "
-                f"(2D {d_data}x{d_time} data x time mesh)"
-            )
-        seq_mesh = mesh
-    else:
-        mesh = make_mesh_for_batch(tcfg.batch_size, tcfg.num_devices)
-        data_sharding = batch_sharding(mesh)
-        seq_mesh = None
+            if logger:
+                logger.info(
+                    f"time_devices={d_time}: filter_impl forced to 'seqpar' "
+                    f"(2D {d_data}x{d_time} data x time mesh)"
+                )
+        return cfg, mesh, data_sharding, mesh
+    mesh = make_mesh_for_batch(tcfg.batch_size, tcfg.num_devices)
+    return cfg, mesh, batch_sharding(mesh), None
+
+
+def train(config: dict, runs_dir: Path | None = None) -> dict:
+    """Run a full training; returns {'best_val': ..., 'runs_dir': ...}."""
+    cfg, tcfg, dcfg = config["kvae"], config["training"], config["dataset"]
+
+    if tcfg.debug_nans:
+        # Dev mode (SURVEY §5): fail at the op that produced a NaN instead of
+        # the reference's silent _safe_cholesky escape hatch.
+        jax.config.update("jax_debug_nans", True)
+
+    runs_dir = Path(runs_dir) if runs_dir else create_runs_dir(tcfg.logdir)
+    runs_dir.mkdir(parents=True, exist_ok=True)
+    logger = setup_logging(str(runs_dir / "train.log"))
+    writer = MetricsWriter(runs_dir)
+    with open(runs_dir / "config.yaml", "w") as f:
+        yaml.safe_dump(config.get("raw", {}), f)
+    ckpt = ckpt_lib.Checkpointer(runs_dir / "checkpoints", tcfg.ckpt_every)
+
+    cfg, mesh, data_sharding, seq_mesh = select_mesh(cfg, tcfg, logger)
     logger.info(f"devices: {jax.devices()} mesh: {mesh}")
 
     train_loader, val_loader = build_dataloaders(

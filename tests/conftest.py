@@ -15,6 +15,20 @@ if "xla_force_host_platform_device_count" not in xla_flags:
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# The suite is XLA-compile dominated (every test jits fresh programs in a
+# fresh process). A persistent compilation cache makes re-runs cheap; keyed
+# by content hash, so it can never mask a code change. Set via env (not
+# jax.config) so subprocess-spawning tests (graft dryrun, multi-host init)
+# inherit it. Disable with KVAE_TEST_COMPILE_CACHE=0 (e.g. when bisecting
+# compiler behavior).
+if os.environ.get("KVAE_TEST_COMPILE_CACHE", "1") != "0":
+    _cache_dir = os.path.join(
+        os.path.expanduser("~"), ".cache", "kvae_tpu_xla_tests"
+    )
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+    # skip sub-second compiles: they'd bloat the cache for no win
+    os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+
 import jax  # noqa: E402
 
 # Plugins (e.g. jaxtyping) may import jax before this conftest runs, making

@@ -142,7 +142,10 @@ def test_graft_entry_single_chip():
     assert x_recon.shape == args[1].shape
 
 
-@pytest.mark.parametrize("n", [2, 8])
+@pytest.mark.parametrize(
+    "n", [pytest.param(2, marks=pytest.mark.slow), 8]
+)  # [8] covers strictly more (includes the 2D 2x4 dryrun); [2] is the
+#    non-power-of-mesh degenerate case, slow-only
 def test_graft_dryrun_multichip(n):
     import __graft_entry__ as ge
 

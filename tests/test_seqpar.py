@@ -75,7 +75,14 @@ def test_seqpar_unmasked(rng):
     y, u, _, params, dyn = _system(rng)
     ref = lgssm_smooth(y, u, None, params, dynamics=dyn)
     mesh = make_time_mesh(4)
-    out = lgssm_smooth_seqpar(y, u, None, params, dyn, mesh=mesh)
+    # jit the call: eager shard_map dispatches each tiny op separately over
+    # the 8 virtual devices (~4 min on one core); jitted it is one program.
+    sh = time_sharding(mesh)
+    y_s, u_s = jax.device_put(y, sh), jax.device_put(u, sh)
+    dyn_s = jax.tree.map(lambda v: jax.device_put(v, sh), dyn)
+    out = jax.jit(
+        lambda a, b, p, d: lgssm_smooth_seqpar(a, b, None, p, d, mesh=mesh)
+    )(y_s, u_s, params, dyn_s)
     np.testing.assert_allclose(
         np.asarray(out.mu_smooth), np.asarray(ref.mu_smooth), rtol=1e-4, atol=1e-5
     )

@@ -359,44 +359,87 @@ def test_train_multidevice_matches_single(tmp_path):
     np.testing.assert_allclose(l8, l1, rtol=2e-3)
 
 
-def test_train_2d_data_time_mesh(tmp_path):
-    """End-to-end `train()` on a 2D (data x time) mesh from config alone:
-    `time_devices: 2` makes the trainer build a 4x2 mesh, shard [B, T, ...]
-    batches on both axes, force filter_impl='seqpar' (time-sharded
-    filter/smoother), and finish with losses close to the 1D data-parallel
-    run (seqpar computes the same smoother as scan up to fp32 associativity,
-    tests/test_seqpar.py)."""
+def _run_mesh_train(tmp_path, name, extra, img_size=16):
+    """One tiny end-to-end train() run; returns the per-epoch train losses."""
     import json
 
     from kvae_tpu.config import parse_config_dict
     from kvae_tpu.train.loop import train
 
-    def run(name, extra):
-        raw = {
-            "dataset": {"type": "bouncing_ball", "val_split": 0.25,
-                        "kwargs": {"num_sequences": 32, "seq_len": 4,
-                                   "img_size": 32, "seed": 0}},
-            "training": {"max_epochs": 2, "batch_size": 8, "lr": 3e-3,
-                         "pretrain_vae_epochs": 1, "warmup_epochs": 1,
-                         "ckpt_every": 0, "logdir": str(tmp_path), "seed": 3,
-                         "T": 4, "fused_epochs": False, **extra},
-            "kvae": {"dynamics_model": "switching", "num_modes": 2},
-        }
-        train(parse_config_dict(raw), runs_dir=tmp_path / name)
-        losses = []
-        with open(tmp_path / name / "metrics.jsonl") as f:
-            for line in f:
-                rec = json.loads(line)
-                if rec.get("split") == "train" and "loss" in rec:
-                    losses.append(rec["loss"])
-        return losses
+    raw = {
+        "dataset": {"type": "bouncing_ball", "val_split": 0.25,
+                    "kwargs": {"num_sequences": 32, "seq_len": 4,
+                               "img_size": img_size, "seed": 0}},
+        "training": {"max_epochs": 2, "batch_size": 8, "lr": 3e-3,
+                     "pretrain_vae_epochs": 1, "warmup_epochs": 1,
+                     "ckpt_every": 0, "logdir": str(tmp_path), "seed": 3,
+                     "T": 4, "fused_epochs": False, **extra},
+        "kvae": {"dynamics_model": "switching", "num_modes": 2,
+                 "img_size": img_size},
+    }
+    train(parse_config_dict(raw), runs_dir=tmp_path / name)
+    losses = []
+    with open(tmp_path / name / "metrics.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("split") == "train" and "loss" in rec:
+                losses.append(rec["loss"])
+    return losses
 
-    import jax as _jax
-    assert len(_jax.devices()) >= 8, "conftest must provide 8 virtual devices"
-    l2d = run("mesh4x2", {"time_devices": 2})
-    l1d = run("mesh4x1", {"num_devices": 4})
-    assert len(l2d) == len(l1d) == 2
-    assert np.all(np.isfinite(l2d))
-    np.testing.assert_allclose(l2d, l1d, rtol=2e-2)
+
+def test_select_mesh_2d_config():
+    """Fast gate for the trainer's mesh selection: `time_devices: 2` builds
+    a (data x time) mesh sized to the device count / batch divisibility,
+    shards batches on both axes and forces filter_impl='seqpar'; divisibility
+    violations raise. (End-to-end 2D trainer runs are the slow tests below;
+    the 2D-sharded train STEP itself is a fast gate via the graft dryrun.)"""
+    from jax.sharding import PartitionSpec as P
+
+    from kvae_tpu.config import KVAEConfig, TrainingConfig
+    from kvae_tpu.train.loop import select_mesh
+
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    cfg = KVAEConfig(dynamics_model="switching", num_modes=2)
+    tcfg = TrainingConfig(batch_size=8, T=4, time_devices=2)
+    cfg2, mesh, data_sharding, seq_mesh = select_mesh(cfg, tcfg)
+    assert cfg2.filter_impl == "seqpar"
+    assert dict(zip(mesh.axis_names, mesh.devices.shape)) == {"data": 4, "time": 2}
+    assert seq_mesh is mesh
+    assert data_sharding.spec == P("data", "time")
+
+    # num_devices caps the data axis
+    _, mesh_c, _, _ = select_mesh(cfg, TrainingConfig(
+        batch_size=8, T=4, time_devices=2, num_devices=2))
+    assert dict(zip(mesh_c.axis_names, mesh_c.devices.shape)) == {"data": 2, "time": 2}
+
+    # 1D default: data-only mesh, no seq mesh, cfg untouched
+    cfg1, mesh1, sh1, seq1 = select_mesh(cfg, TrainingConfig(batch_size=8, T=4))
+    assert seq1 is None and cfg1.filter_impl == cfg.filter_impl
+    assert mesh1.axis_names == ("data",)
+
+    with pytest.raises(ValueError, match="divide the device count"):
+        select_mesh(cfg, TrainingConfig(batch_size=8, T=9, time_devices=3))
+    with pytest.raises(ValueError, match="divide the sequence length"):
+        select_mesh(cfg, TrainingConfig(batch_size=8, T=5, time_devices=2))
+
+
+@pytest.mark.slow
+def test_train_2d_data_time_mesh_smoke(tmp_path):
+    """End-to-end `train()` on a 2D (data x time) mesh from config alone:
+    finite losses + the forced-seqpar log line."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    l2d = _run_mesh_train(tmp_path, "mesh4x2", {"time_devices": 2})
+    assert len(l2d) == 2 and np.all(np.isfinite(l2d))
     log = (tmp_path / "mesh4x2" / "train.log").read_text()
     assert "seqpar" in log and "data x time mesh" in log
+
+
+@pytest.mark.slow
+def test_train_2d_data_time_mesh_matches_1d(tmp_path):
+    """The 2D (data x time) trainer run matches the 1D data-parallel run
+    (seqpar computes the same smoother as scan up to fp32 associativity)."""
+    assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
+    l2d = _run_mesh_train(tmp_path, "mesh4x2", {"time_devices": 2})
+    l1d = _run_mesh_train(tmp_path, "mesh4x1", {"num_devices": 4})
+    assert len(l2d) == len(l1d) == 2
+    np.testing.assert_allclose(l2d, l1d, rtol=2e-2)
