@@ -20,6 +20,11 @@ container's CPU — the reference's only supported non-CUDA device class here
 (it shipped on CPU/MPS laptops): 2.625 steps/s. The BASELINE.json target is
 >= 10x that. The skvae/scaling configs have no reference measurement
 (vs_baseline: null).
+
+Each config is timed as a fused chain of train steps (jitted lax.scan), the
+committed trainer's actual dispatch mode (one XLA program per epoch). This
+measures device throughput; per-step Python dispatch is a host property
+(~2 ms/step extra on a 1-core host) that the real trainer does not pay.
 """
 import json
 import sys
@@ -27,14 +32,14 @@ import time
 
 REFERENCE_STEPS_PER_SEC = 2.625  # measured: /root/reference train step, CPU, bs=32 T=20
 
-WARMUP_STEPS = 10
 
-
-def _step_flops(train_step, state, x):
-    """Optimized-HLO FLOP count of the compiled step (XLA cost analysis);
-    None if the backend doesn't expose it."""
+def _chain_flops(chain, state, x):
+    """Optimized-HLO FLOP count per step of the compiled chain (XLA cost
+    analysis); None if the backend doesn't expose it. The cost model counts
+    a `while`-lowered scan body ONCE (verified: chain flops == the round-1
+    single-step lowering's flops), so this is per-step as-is."""
     try:
-        ca = train_step.lower(state, x, "all").compile().cost_analysis()
+        ca = chain.lower(state, x, "all").compile().cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
         flops = float(ca.get("flops", 0.0))
@@ -43,29 +48,44 @@ def _step_flops(train_step, state, x):
         return None
 
 
-def bench_config(cfg, tcfg, x, timed_steps, windows):
-    """Median-window steps/s with one hard value-fetch sync per window
-    (block_until_ready does not synchronize on tunneled backends)."""
-    from kvae_tpu.train.state import create_train_state, make_train_step
+def bench_config(cfg, tcfg, x, chain_len, windows):
+    """Median-window steps/s of a fused chain of train steps — a jitted
+    `lax.scan` of `chain_len` steps, exactly how the committed trainer
+    dispatches work (one XLA program per epoch, train/state.py epoch_run).
+    One dispatch + one hard value-fetch sync per window, so the number
+    measures device throughput, not the host's per-step Python dispatch rate
+    (which varies with core count and added ~2 ms/step on a 1-core host)."""
+    from functools import partial
+
+    import jax
+
+    from kvae_tpu.train.state import create_train_state, make_raw_train_step
 
     model, state, tx = create_train_state(cfg, tcfg, x)
-    train_step = make_train_step(model, cfg, tcfg, tx)
+    raw = make_raw_train_step(model, cfg, tcfg, tx)
+
+    @partial(jax.jit, static_argnames=("phase",))
+    def chain(state, x, phase):
+        def body(st, _):
+            st, metrics = raw(st, x, phase)
+            return st, metrics["loss"]
+        st, losses = jax.lax.scan(body, state, None, length=chain_len)
+        return st, losses[-1]
 
     t0 = time.perf_counter()
-    for _ in range(WARMUP_STEPS):
-        state, metrics = train_step(state, x, "all")
-    loss = float(metrics["loss"])
+    for _ in range(2):
+        state, last_loss = chain(state, x, "all")
+    loss = float(last_loss)
     compile_s = time.perf_counter() - t0
     # after warmup so the cost-analysis lowering hits the compilation cache
-    flops = _step_flops(train_step, state, x)
+    flops = _chain_flops(chain, state, x)
 
     rates = []
     for _ in range(windows):
         t0 = time.perf_counter()
-        for _ in range(timed_steps):
-            state, metrics = train_step(state, x, "all")
-        float(metrics["loss"])  # hard sync
-        rates.append(timed_steps / (time.perf_counter() - t0))
+        state, last_loss = chain(state, x, "all")
+        float(last_loss)  # hard sync
+        rates.append(chain_len / (time.perf_counter() - t0))
     steps_per_sec = sorted(rates)[len(rates) // 2]
     return steps_per_sec, compile_s, loss, flops
 
@@ -102,7 +122,7 @@ def main():
     cfg = KVAEConfig(dynamics_model="lstm", num_modes=3, a_dim=2, z_dim=4,
                      out_distr="bernoulli", filter_impl="auto")
     tcfg = TrainingConfig(batch_size=32, T=20)
-    sps, compile_s, loss, flops = bench_config(cfg, tcfg, data(32, 20), 500, 5)
+    sps, compile_s, loss, flops = bench_config(cfg, tcfg, data(32, 20), 200, 5)
     print(f"headline: compile+warmup={compile_s:.1f}s loss={loss:.3f} "
           f"{sps:.2f} steps/s on {jax.devices()[0]}", file=sys.stderr)
     lines.append({
@@ -118,7 +138,7 @@ def main():
     cfg = KVAEConfig(dynamics_model="switching", num_modes=3, a_dim=2, z_dim=4,
                      out_distr="bernoulli", filter_impl="auto")
     tcfg = TrainingConfig(batch_size=32, T=20)
-    sps, compile_s, loss, flops = bench_config(cfg, tcfg, data(32, 20), 300, 3)
+    sps, compile_s, loss, flops = bench_config(cfg, tcfg, data(32, 20), 200, 3)
     print(f"skvae: compile+warmup={compile_s:.1f}s loss={loss:.3f} "
           f"{sps:.2f} steps/s", file=sys.stderr)
     lines.append({
@@ -136,7 +156,7 @@ def main():
                      out_distr="bernoulli", filter_impl="auto",
                      compute_dtype="bfloat16")
     tcfg = TrainingConfig(batch_size=128, T=100)
-    sps, compile_s, loss, flops = bench_config(cfg, tcfg, data(128, 100), 100, 3)
+    sps, compile_s, loss, flops = bench_config(cfg, tcfg, data(128, 100), 50, 3)
     print(f"scaling_t100: compile+warmup={compile_s:.1f}s loss={loss:.3f} "
           f"{1000.0 / sps:.2f} ms/step", file=sys.stderr)
     lines.append({
