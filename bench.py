@@ -1,6 +1,8 @@
 """Driver benchmark: KVAE train throughput on real hardware.
 
-Prints one JSON line per benched config, HEADLINE FIRST:
+Prints one JSON line per benched config, HEADLINE FIRST — each line is
+emitted (and flushed) as soon as its config finishes, so a harness-side
+timeout can only truncate the tail, never lose the headline metric:
   {"metric": "train_steps_per_sec", "value": N, "unit": "steps/s",
    "vs_baseline": N / REFERENCE_STEPS_PER_SEC, ...}
   {"metric": "skvae_train_steps_per_sec", ...}
@@ -116,7 +118,8 @@ def main():
     def data(b, t):
         return jnp.asarray(rng.uniform(size=(b, t, 1, 32, 32)) > 0.5, jnp.float32)
 
-    lines = []
+    def emit(line):
+        print(json.dumps(line), flush=True)
 
     # 1. headline
     cfg = KVAEConfig(dynamics_model="lstm", num_modes=3, a_dim=2, z_dim=4,
@@ -125,7 +128,7 @@ def main():
     sps, compile_s, loss, flops = bench_config(cfg, tcfg, data(32, 20), 200, 5)
     print(f"headline: compile+warmup={compile_s:.1f}s loss={loss:.3f} "
           f"{sps:.2f} steps/s on {jax.devices()[0]}", file=sys.stderr)
-    lines.append({
+    emit({
         "metric": "train_steps_per_sec", "value": round(sps, 3),
         "unit": "steps/s",
         "vs_baseline": round(sps / REFERENCE_STEPS_PER_SEC, 2),
@@ -141,7 +144,7 @@ def main():
     sps, compile_s, loss, flops = bench_config(cfg, tcfg, data(32, 20), 200, 3)
     print(f"skvae: compile+warmup={compile_s:.1f}s loss={loss:.3f} "
           f"{sps:.2f} steps/s", file=sys.stderr)
-    lines.append({
+    emit({
         "metric": "skvae_train_steps_per_sec", "value": round(sps, 3),
         "unit": "steps/s", "vs_baseline": None,
         "ms_per_step": round(1000.0 / sps, 3),
@@ -159,16 +162,13 @@ def main():
     sps, compile_s, loss, flops = bench_config(cfg, tcfg, data(128, 100), 50, 3)
     print(f"scaling_t100: compile+warmup={compile_s:.1f}s loss={loss:.3f} "
           f"{1000.0 / sps:.2f} ms/step", file=sys.stderr)
-    lines.append({
+    emit({
         "metric": "scaling_t100_ms_per_step", "value": round(1000.0 / sps, 3),
         "unit": "ms/step", "vs_baseline": None,
         "steps_per_sec": round(sps, 3),
         "steps_per_sec_per_chip": round(sps / n_chips, 3),
         **_throughput_extras(sps, flops),
     })
-
-    for line in lines:
-        print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -9,8 +9,13 @@ Design (see /opt/skills/guides/pallas_guide.md):
     1024 batch elements. All small-matrix algebra (predict, innovation,
     Cholesky solve for the gain, Joseph update) is Python-unrolled over the
     static n/p/m indices — pure VPU element-wise ops, zero layout churn.
-  - Grid over batch tiles of 1024 (batch padded up; the pad lanes compute
-    garbage that is sliced off on the way out).
+  - Grid = (batch tiles of 1024, time chunks): the time axis is cut into
+    VMEM-budget-sized chunks that form the MINOR grid axis, with the
+    recursion carry held in VMEM scratch across chunks (seeded at chunk 0,
+    re-seeded per batch tile). One pallas_call — hence ONE Mosaic kernel
+    compile — covers the whole sequence regardless of T; a trailing
+    remainder chunk gets a second call. Batch is padded up; pad lanes
+    compute garbage that is sliced off on the way out.
   - The gain solve uses an unrolled Cholesky on the [p][p] tile matrix
     (closed-form-exact for any small p) instead of XLA's batched LU.
   - Gradients: `lgssm_filter_pallas` is a jax.custom_vjp whose forward is
@@ -145,15 +150,15 @@ def _ge_inv(M, k):
     return [[cols[j][i] for j in range(k)] for i in range(k)]
 
 
-def _filter_kernel(
-    r_ref,                                               # SMEM
-    mu0_ref, sig0_ref,                                   # VMEM tiles (batch-varying)
-    y_ref, u_ref, mask_ref, a_ref, b_ref, c_ref, q_ref,  # VMEM in
-    muf_ref, sigf_ref, mup_ref, sigp_ref,                # VMEM out
-    *, T: int, n: int, m: int, p: int,
-):
-    mu = mu0_ref[...]       # [n,8,128]
-    sigma = sig0_ref[...]   # [n,n,8,128]
+def _filter_body(smem, tin, tout, carry):
+    """One time-chunk of the filter recursion (see _seq_chunked_call)."""
+    (r_ref,) = smem
+    y_ref, u_ref, mask_ref, a_ref, b_ref, c_ref, q_ref = tin
+    muf_ref, sigf_ref, mup_ref, sigp_ref = tout
+    T, p = y_ref.shape[0], y_ref.shape[1]
+    m = u_ref.shape[1]
+    n = a_ref.shape[1]
+    mu0, sigma0 = carry     # [n,8,128], [n,n,8,128]
     R = [[r_ref[i, j] for j in range(p)] for i in range(p)]
 
     def body(t, carry):
@@ -216,7 +221,7 @@ def _filter_kernel(
         sigp_ref[t] = jnp.stack([jnp.stack(row) for row in sigma_pred])
         return mu_arr, sig_arr
 
-    jax.lax.fori_loop(0, T, body, (mu, sigma))
+    return jax.lax.fori_loop(0, T, body, (mu0, sigma0))
 
 
 def _to_tiles(x: jax.Array, b_pad: int) -> jax.Array:
@@ -241,54 +246,159 @@ def _from_tiles(x: jax.Array, b: int) -> jax.Array:
 _VMEM_BUDGET_BYTES = 9 * 1024 * 1024
 
 
+def _steps_in_budget(T: int, tiles_per_step: int) -> int:
+    """Chunk length that keeps a gridded recursion within scoped VMEM.
+
+    With the chunk index on the grid (see _seq_chunked_call), Mosaic
+    double-buffers every time-axis in/out block so chunk c+1's DMAs overlap
+    chunk c's compute — the resident footprint is 2x the block bytes (plus
+    the carry blocks/scratch, small). Budgeting bytes_per_step directly
+    OOM'd the 16 MiB scoped-VMEM stack at T=100, n=8 (18.7 MiB requested)."""
+    bytes_per_step = tiles_per_step * _SUBLANES * _LANES * 4
+    return max(1, min(T, _VMEM_BUDGET_BYTES // (2 * bytes_per_step)))
+
+
 def _chunk_len(T: int, n: int, m: int, p: int) -> int:
     tiles_per_step = (
         p + m + 1 + n * n + n * m + p * n + n * n     # inputs
         + n + n * n + n + n * n                        # outputs
     )
-    bytes_per_step = tiles_per_step * _SUBLANES * _LANES * 4
-    return max(1, min(T, _VMEM_BUDGET_BYTES // bytes_per_step))
+    return _steps_in_budget(T, tiles_per_step)
 
 
-def _filter_pallas_chunk(y_t, u_t, mask_t, A_t, B_t, C_t, Q_t,
-                         mu0_t, sig0_t, R, *, n_tiles, interpret):
-    """One pallas_call over a [Tc, ..., Sp, 128] tile chunk with batch-varying
-    initial state tiles."""
-    Tc = y_t.shape[0]
-    p = y_t.shape[1]
-    m = u_t.shape[1]
-    n = A_t.shape[1]
-    sp = _SUBLANES
-    spd = y_t.shape[-2]  # total sublane groups
+def _wrap_seq_kernel(body, n_smem, n_tin, n_carry, n_tout):
+    """Wrap a chunk body into a pallas kernel whose carry lives in VMEM
+    scratch across the chunk grid axis (grid = (batch_tiles, n_chunks)).
 
-    def vspec(*dims, t=True):
-        block = ((Tc,) if t else ()) + dims + (sp, _LANES)
-        zeros = (0,) * ((1 if t else 0) + len(dims))
-        return pl.BlockSpec(
-            block, lambda g, _z=zeros: _z + (g, 0), memory_space=pltpu.VMEM
+    Ref order: smem ins, time ins, carry ins, time outs, carry outs, scratch.
+    At chunk 0 the scratch is seeded from the carry-in blocks; every chunk
+    writes the updated carry to both scratch and the carry-out blocks (the
+    final write is the one flushed to HBM)."""
+    def kernel(*refs):
+        smem = refs[:n_smem]
+        tin = refs[n_smem:n_smem + n_tin]
+        cin = refs[n_smem + n_tin:n_smem + n_tin + n_carry]
+        tout = refs[n_smem + n_tin + n_carry:n_smem + n_tin + n_carry + n_tout]
+        cout = refs[-2 * n_carry:-n_carry]
+        scratch = refs[-n_carry:]
+
+        @pl.when(pl.program_id(1) == 0)
+        def _seed():
+            for s, ci in zip(scratch, cin):
+                s[...] = ci[...]
+
+        carry = tuple(s[...] for s in scratch)
+        new = body(smem, tin, tout, carry)
+        for s, co, v in zip(scratch, cout, new):
+            s[...] = v
+            co[...] = v
+
+    return kernel
+
+
+def _seq_chunked_call(
+    body, *, smem_ins, time_ins, carry_init, out_dims,
+    T, ct, reverse, n_tiles, interpret,
+):
+    """Run a sequential per-timestep recursion over [0, T) in at most TWO
+    pallas_calls — one gridded over all full-length time chunks (chunk index
+    = minor grid axis, carry in VMEM scratch) and one for the remainder —
+    instead of one call per chunk. Compile time is then O(1) in T: a T=100
+    n=8 training step previously emitted ~100 Mosaic kernels (one per chunk
+    across the four recursions), each a separate multi-second compile.
+
+    `body(smem_refs, time_in_refs, time_out_refs, carry) -> new_carry`
+    implements one chunk; chunk length is read off the refs' block shape.
+    `reverse=True` processes chunks back-to-front (the per-step layout inside
+    each chunk is the body's business); the remainder chunk is the one at the
+    END of the time axis, so in reverse mode it runs first.
+
+    Returns (time_outs, final_carry); time outs are in storage (forward)
+    order, each [T, *dims, spd, 128]."""
+    spd = carry_init[0].shape[-2]
+    n_carry = len(carry_init)
+    kernel = _wrap_seq_kernel(
+        body, len(smem_ins), len(time_ins), n_carry, len(out_dims)
+    )
+    if T == 0:
+        empty = [
+            jnp.zeros((0,) + d + (spd, _LANES), jnp.float32) for d in out_dims
+        ]
+        return empty, list(carry_init)
+    n_full, rem = divmod(T, ct)
+
+    def run(t0, t1, n_chunks, rev, carries):
+        Tc = (t1 - t0) // n_chunks
+
+        def tspec(dims):
+            zeros = (0,) * len(dims)
+            if rev:
+                im = lambda g, c, _z=zeros, _n=n_chunks: (_n - 1 - c,) + _z + (g, 0)
+            else:
+                im = lambda g, c, _z=zeros: (c,) + _z + (g, 0)
+            return pl.BlockSpec(
+                (Tc,) + dims + (_SUBLANES, _LANES), im, memory_space=pltpu.VMEM
+            )
+
+        def cspec(dims):
+            zeros = (0,) * len(dims)
+            return pl.BlockSpec(
+                dims + (_SUBLANES, _LANES),
+                lambda g, c, _z=zeros: _z + (g, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        in_specs = (
+            [pl.BlockSpec(a.shape, lambda g, c, _r=a.ndim: (0,) * _r,
+                          memory_space=pltpu.SMEM) for a in smem_ins]
+            + [tspec(a.shape[1:-2]) for a in time_ins]
+            + [cspec(a.shape[:-2]) for a in carries]
         )
+        out_specs = (
+            [tspec(d) for d in out_dims] + [cspec(a.shape[:-2]) for a in carries]
+        )
+        out_shape = (
+            [jax.ShapeDtypeStruct((t1 - t0,) + d + (spd, _LANES), jnp.float32)
+             for d in out_dims]
+            + [jax.ShapeDtypeStruct(a.shape, jnp.float32) for a in carries]
+        )
+        scratch = [
+            pltpu.VMEM(a.shape[:-2] + (_SUBLANES, _LANES), jnp.float32)
+            for a in carries
+        ]
+        sl = slice(t0, t1)
+        outs = pl.pallas_call(
+            kernel,
+            grid=(n_tiles, n_chunks),
+            in_specs=in_specs,
+            out_specs=out_specs,
+            out_shape=out_shape,
+            scratch_shapes=scratch,
+            interpret=interpret,
+        )(*smem_ins, *[a[sl] for a in time_ins], *carries)
+        return list(outs[:len(out_dims)]), list(outs[len(out_dims):])
 
-    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
-    out_shape = [
-        jax.ShapeDtypeStruct((Tc, n, spd, _LANES), jnp.float32),
-        jax.ShapeDtypeStruct((Tc, n, n, spd, _LANES), jnp.float32),
-        jax.ShapeDtypeStruct((Tc, n, spd, _LANES), jnp.float32),
-        jax.ShapeDtypeStruct((Tc, n, n, spd, _LANES), jnp.float32),
-    ]
-    kernel = functools.partial(_filter_kernel, T=Tc, n=n, m=m, p=p)
-    return pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
-            smem((p, p), lambda g: (0, 0)),
-            vspec(n, t=False), vspec(n, n, t=False),
-            vspec(p), vspec(m), vspec(), vspec(n, n), vspec(n, m),
-            vspec(p, n), vspec(n, n),
-        ],
-        out_specs=[vspec(n), vspec(n, n), vspec(n), vspec(n, n)],
-        out_shape=out_shape,
-        interpret=interpret,
-    )(R, mu0_t, sig0_t, y_t, u_t, mask_t, A_t, B_t, C_t, Q_t)
+    t_mid = n_full * ct
+    touts_full = touts_rem = None
+    carries = list(carry_init)
+    if reverse:
+        if rem:
+            touts_rem, carries = run(t_mid, T, 1, False, carries)
+        if n_full:
+            touts_full, carries = run(0, t_mid, n_full, True, carries)
+    else:
+        if n_full:
+            touts_full, carries = run(0, t_mid, n_full, False, carries)
+        if rem:
+            touts_rem, carries = run(t_mid, T, 1, False, carries)
+    if touts_full is None:
+        touts = touts_rem
+    elif touts_rem is None:
+        touts = touts_full
+    else:
+        touts = [jnp.concatenate([a, b], axis=0)
+                 for a, b in zip(touts_full, touts_rem)]
+    return touts, carries
 
 
 def _filter_pallas_raw(y, u, mask, A, B, C, Q, mu0, sigma0, R, *, interpret):
@@ -309,18 +419,16 @@ def _filter_pallas_raw(y, u, mask, A, B, C, Q, mu0, sigma0, R, *, interpret):
     mu0_t = _to_tiles(jnp.broadcast_to(mu0, (batch, n)), b_pad)
     sig0_t = _to_tiles(jnp.broadcast_to(sigma0, (batch, n, n)), b_pad)
 
-    ct = _chunk_len(T, n, m, p)
-    outs = []
-    for start in range(0, T, ct):
-        sl = slice(start, min(start + ct, T))
-        muf, sigf, mup, sigp = _filter_pallas_chunk(
-            y_t[sl], u_t[sl], mask_t[sl], A_t[sl], B_t[sl], C_t[sl], Q_t[sl],
-            mu0_t, sig0_t, R, n_tiles=n_tiles, interpret=interpret,
-        )
-        outs.append((muf, sigf, mup, sigp))
-        mu0_t, sig0_t = muf[-1], sigf[-1]  # carry into the next chunk
-
-    muf, sigf, mup, sigp = (jnp.concatenate(parts, axis=0) for parts in zip(*outs))
+    touts, _ = _seq_chunked_call(
+        _filter_body,
+        smem_ins=[R],
+        time_ins=[y_t, u_t, mask_t, A_t, B_t, C_t, Q_t],
+        carry_init=[mu0_t, sig0_t],
+        out_dims=[(n,), (n, n), (n,), (n, n)],
+        T=T, ct=_chunk_len(T, n, m, p), reverse=False,
+        n_tiles=n_tiles, interpret=interpret,
+    )
+    muf, sigf, mup, sigp = touts
     return (
         _from_tiles(muf, batch), _from_tiles(sigf, batch),
         _from_tiles(mup, batch), _from_tiles(sigp, batch),
@@ -392,16 +500,15 @@ def lgssm_filter_pallas(
 # RTS smoother kernel
 # ---------------------------------------------------------------------------
 
-def _rts_kernel(
-    muf_ref, sigf_ref, mupn_ref, sigpn_ref, an_ref,  # VMEM in (next-step-shifted)
-    cmu_ref, csig_ref,                                # VMEM in: carry (smoothed at chunk end)
-    mus_ref, sigs_ref,                                # VMEM out
-    *, T: int, n: int,
-):
+def _rts_body(smem, tin, tout, carry):
     """Reverse RTS recursion over a time chunk, tiles VMEM-resident. Mirrors
     ops/lgssm.lgssm_smooth_from_filter (reference kalman_filter.py:204-279).
     Index t here covers recursion steps only (the wrapper writes the T-1
     identity element); *_n refs are pre-shifted to hold the t+1 values."""
+    del smem
+    muf_ref, sigf_ref, mupn_ref, sigpn_ref, an_ref = tin
+    mus_ref, sigs_ref = tout
+    T, n = muf_ref.shape[0], muf_ref.shape[1]
 
     def body(step, carry):
         mu_s, sig_s = carry                     # smoothed at t+1
@@ -437,44 +544,12 @@ def _rts_kernel(
         sigs_ref[t] = sig_arr
         return mu_arr, sig_arr
 
-    jax.lax.fori_loop(0, T, body, (cmu_ref[...], csig_ref[...]))
+    return jax.lax.fori_loop(0, T, body, carry)
 
 
 def _rts_chunk_len(T: int, n: int) -> int:
     tiles_per_step = 2 * n + 4 * n * n + n + n * n  # in (5 arrays) + out (2)
-    bytes_per_step = tiles_per_step * _SUBLANES * _LANES * 4
-    return max(1, min(T, _VMEM_BUDGET_BYTES // bytes_per_step))
-
-
-def _rts_pallas_chunk(muf_c, sigf_c, mupn_c, sigpn_c, an_c, cmu, csig,
-                      *, n_tiles, interpret):
-    Tc = muf_c.shape[0]
-    n = muf_c.shape[1]
-    sp = _SUBLANES
-    spd = muf_c.shape[-2]
-
-    def vspec(*dims, t=True):
-        block = ((Tc,) if t else ()) + dims + (sp, _LANES)
-        zeros = (0,) * ((1 if t else 0) + len(dims))
-        return pl.BlockSpec(
-            block, lambda g, _z=zeros: _z + (g, 0), memory_space=pltpu.VMEM
-        )
-
-    out_shape = [
-        jax.ShapeDtypeStruct((Tc, n, spd, _LANES), jnp.float32),
-        jax.ShapeDtypeStruct((Tc, n, n, spd, _LANES), jnp.float32),
-    ]
-    return pl.pallas_call(
-        functools.partial(_rts_kernel, T=Tc, n=n),
-        grid=(n_tiles,),
-        in_specs=[
-            vspec(n), vspec(n, n), vspec(n), vspec(n, n), vspec(n, n),
-            vspec(n, t=False), vspec(n, n, t=False),
-        ],
-        out_specs=[vspec(n), vspec(n, n)],
-        out_shape=out_shape,
-        interpret=interpret,
-    )(muf_c, sigf_c, mupn_c, sigpn_c, an_c, cmu, csig)
+    return _steps_in_budget(T, tiles_per_step)
 
 
 def _rts_pallas_raw(muf, sigf, mup, sigp, A, *, interpret):
@@ -488,26 +563,20 @@ def _rts_pallas_raw(muf, sigf, mup, sigp, A, *, interpret):
     sigp_t = _to_tiles(sigp, b_pad)
     A_t = _to_tiles(A, b_pad)
 
-    # carry starts at the filtered posterior of the last step
-    cmu, csig = muf_t[T - 1], sigf_t[T - 1]
-    ct = _rts_chunk_len(T, n)
-    # recursion covers indices [0, T-1); walk chunks from the end backwards
-    starts = list(range(0, T - 1, ct))
-    parts = []
-    for start in reversed(starts):
-        end = min(start + ct, T - 1)
-        mus_c, sigs_c = _rts_pallas_chunk(
-            muf_t[start:end], sigf_t[start:end],
-            mup_t[start + 1:end + 1], sigp_t[start + 1:end + 1],
-            A_t[start + 1:end + 1],
-            cmu, csig, n_tiles=n_tiles, interpret=interpret,
-        )
-        parts.append((mus_c, sigs_c))
-        cmu, csig = mus_c[0], sigs_c[0]
-
-    parts.reverse()  # back to forward time order
-    mus = jnp.concatenate([p[0] for p in parts] + [muf_t[T - 1:T]], axis=0)
-    sigs = jnp.concatenate([p[1] for p in parts] + [sigf_t[T - 1:T]], axis=0)
+    # recursion covers indices [0, T-1), walked back-to-front; the carry
+    # starts at the filtered posterior of the last step
+    touts, _ = _seq_chunked_call(
+        _rts_body,
+        smem_ins=[],
+        time_ins=[muf_t[:T - 1], sigf_t[:T - 1],
+                  mup_t[1:T], sigp_t[1:T], A_t[1:T]],
+        carry_init=[muf_t[T - 1], sigf_t[T - 1]],
+        out_dims=[(n,), (n, n)],
+        T=T - 1, ct=_rts_chunk_len(T, n), reverse=True,
+        n_tiles=n_tiles, interpret=interpret,
+    )
+    mus = jnp.concatenate([touts[0], muf_t[T - 1:T]], axis=0)
+    sigs = jnp.concatenate([touts[1], sigf_t[T - 1:T]], axis=0)
     return _from_tiles(mus, batch), _from_tiles(sigs, batch)
 
 

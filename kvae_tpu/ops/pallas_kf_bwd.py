@@ -24,7 +24,7 @@ P = sigma_pred, W = S^{-1}):
             gA   = gmp mu^T + 2 sym(gP) A Sigma
             gmu  = A^T gmp ;  gB = gmp u^T ;  gu = B^T gmp
             gSigma = A^T gP A ;  gQ = gP ;  gR += sym(gS) + K^T G K
-(RTS step analogous; see _rts_bwd_kernel.)
+(RTS step analogous; see _rts_bwd_body.)
 
 Gated by tests/test_pallas_bwd.py: gradients versus jax.vjp of the scan
 implementation for every input, masked and unmasked.
@@ -35,17 +35,16 @@ import functools
 
 import jax
 import jax.numpy as jnp
-from jax.experimental import pallas as pl
-from jax.experimental.pallas import tpu as pltpu
 
 from kvae_tpu.ops.pallas_kf import (
     _LANES,
     _SUBLANES,
     _TILE_B,
-    _VMEM_BUDGET_BYTES,
+    _steps_in_budget,
     _ge_inv,
     _ge_solve,
     _from_tiles,
+    _seq_chunked_call,
     _to_tiles,
 )
 
@@ -128,20 +127,20 @@ def _inv_psd(S, p):
 # filter backward kernel (one time chunk, reverse order)
 # ---------------------------------------------------------------------------
 
-def _filter_bwd_kernel(
-    r_ref,                                                     # SMEM R [p,p]
-    y_ref, u_ref, mask_ref, a_ref, b_ref, c_ref, q_ref,        # fwd inputs
-    muprev_ref, sigprev_ref,                                   # mu_{t-1|t-1}, sigma_{t-1|t-1} (t=0 -> prior)
-    mup_ref, sigp_ref,                                         # stored predictions
-    gmuf_ref, gsigf_ref, gmup_ref, gsigp_ref,                  # stored output cotangents
-    cgmu_ref, cgsig_ref,                                       # incoming carry cotangent (at chunk end)
-    gy_ref, gu_ref, ga_ref, gb_ref, gc_ref, gq_ref,            # out: per-step grads
-    ogmu_ref, ogsig_ref, ogr_ref,                              # out: carry cotangent at chunk start + gR accum
-    *, T: int, n: int, m: int, p: int,
-):
+def _filter_bwd_body(smem, tin, tout, carry):
+    """One reverse-order time chunk of the filter adjoint (see
+    pallas_kf._seq_chunked_call). The gR accumulator rides along as a third
+    carry, so it totals across chunks inside the gridded call for free."""
+    (r_ref,) = smem
+    (y_ref, u_ref, mask_ref, a_ref, b_ref, c_ref,     # fwd inputs (no Q: unused)
+     muprev_ref, sigprev_ref,                          # mu/sigma_{t-1|t-1} (t=0 -> prior)
+     mup_ref, sigp_ref,                                # stored predictions
+     gmuf_ref, gsigf_ref, gmup_ref, gsigp_ref) = tin   # stored output cotangents
+    gy_ref, gu_ref, ga_ref, gb_ref, gc_ref, gq_ref = tout
+    T, p = y_ref.shape[0], y_ref.shape[1]
+    m = u_ref.shape[1]
+    n = a_ref.shape[1]
     R = [[r_ref[i, j] for j in range(p)] for i in range(p)]
-    zero = jnp.zeros((_SUBLANES, _LANES), jnp.float32)
-    gR0 = jnp.stack([jnp.stack([zero] * p)] * p)
 
     def body(step, carry):
         gmu_c, gsig_c, gR_acc = carry     # cotangents of (mu', Sigma') as inputs downstream
@@ -244,29 +243,23 @@ def _filter_bwd_kernel(
 
         return (_stackv(gmu_prev), _stackm(gsig_prev), gR_acc)
 
-    gmu0 = _vec(cgmu_ref[...], n)
-    gsig0 = cgsig_ref[...]
-    gmu_fin, gsig_fin, gR_fin = jax.lax.fori_loop(
-        0, T, body, (jnp.stack(gmu0), gsig0, gR0)
-    )
-    ogmu_ref[...] = gmu_fin
-    ogsig_ref[...] = gsig_fin
-    ogr_ref[...] = gR_fin
+    return jax.lax.fori_loop(0, T, body, carry)
 
 
 # ---------------------------------------------------------------------------
 # RTS smoother backward kernel (one chunk, FORWARD time order)
 # ---------------------------------------------------------------------------
 
-def _rts_bwd_kernel(
-    muf_ref, sigf_ref, mupn_ref, sigpn_ref, an_ref,     # fwd inputs (shifted)
-    msn_ref, psn_ref,                                    # smoothed at t+1 (shifted)
-    gms_ref, gps_ref,                                    # stored smoothed cotangents
-    cgm_ref, cgp_ref,                                    # carry cotangent at chunk start
-    gmf_ref, gpf_ref, gmpn_ref, gppn_ref, gan_ref,       # out: per-step grads
-    ogm_ref, ogp_ref,                                    # out: carry at chunk end
-    *, T: int, n: int,
-):
+def _rts_bwd_body(smem, tin, tout, carry):
+    """One FORWARD-time chunk of the RTS adjoint (see
+    pallas_kf._seq_chunked_call)."""
+    del smem
+    (muf_ref, sigf_ref, mupn_ref, sigpn_ref, an_ref,    # fwd inputs (shifted)
+     msn_ref, psn_ref,                                   # smoothed at t+1 (shifted)
+     gms_ref, gps_ref) = tin                             # stored smoothed cotangents
+    gmf_ref, gpf_ref, gmpn_ref, gppn_ref, gan_ref = tout
+    T, n = muf_ref.shape[0], muf_ref.shape[1]
+
     def body(t, carry):
         gm_c, gp_c = carry                       # cotangent of smoothed[t] via step t-1
         mf = _vec(muf_ref[t], n)
@@ -327,36 +320,21 @@ def _rts_bwd_kernel(
 
         return gm_next, gp_next
 
-    gm0 = cgm_ref[...]
-    gp0 = cgp_ref[...]
-    gm_f, gp_f = jax.lax.fori_loop(0, T, body, (gm0, gp0))
-    ogm_ref[...] = gm_f
-    ogp_ref[...] = gp_f
+    return jax.lax.fori_loop(0, T, body, carry)
 
 
 # ---------------------------------------------------------------------------
 # chunked raw wrappers
 # ---------------------------------------------------------------------------
 
-def _vspec_factory(Tc):
-    def vspec(*dims, t=True):
-        block = ((Tc,) if t else ()) + dims + (_SUBLANES, _LANES)
-        zeros = (0,) * ((1 if t else 0) + len(dims))
-        return pl.BlockSpec(
-            block, lambda g, _z=zeros: _z + (g, 0), memory_space=pltpu.VMEM
-        )
-    return vspec
-
-
 def _filter_bwd_chunk_len(T, n, m, p):
     tiles = (
-        p + m + 1 + 2 * n * n + n * m + p * n        # y,u,mask,A,Q,B,C
+        p + m + 1 + n * n + n * m + p * n            # y,u,mask,A,B,C
         + 2 * n + 2 * n * n                           # muprev,sigprev? (n + nn)*2
         + 2 * n + 2 * n * n                           # stored cotangents
         + p + m + 2 * n * n + n * m + p * n + n * n   # grads out
     )
-    bytes_per_step = tiles * _SUBLANES * _LANES * 4
-    return max(1, min(T, _VMEM_BUDGET_BYTES // bytes_per_step))
+    return _steps_in_budget(T, tiles)
 
 
 def _filter_bwd_raw(
@@ -371,10 +349,11 @@ def _filter_bwd_raw(
     b_pad = -(-batch // _TILE_B) * _TILE_B
     n_tiles = b_pad // _TILE_B
     spd = b_pad // _LANES
+    del Q  # the adjoint recomputes from stored predictions; Q never appears
 
     tt = lambda x: _to_tiles(x, b_pad)
     y_t, u_t, mask_t = tt(y), tt(u), tt(mask)
-    A_t, B_t, C_t, Q_t = tt(A), tt(B), tt(C), tt(Q)
+    A_t, B_t, C_t = tt(A), tt(B), tt(C)
     mup_t, sigp_t = tt(mup), tt(sigp)
     gmuf_t, gsigf_t = tt(gmuf), tt(gsigf)
     gmup_t, gsigp_t = tt(gmup), tt(gsigp)
@@ -387,69 +366,28 @@ def _filter_bwd_raw(
     )
     muprev_t, sigprev_t = tt(muprev), tt(sigprev)
 
-    ct = _filter_bwd_chunk_len(T, n, m, p)
-    cgmu = jnp.zeros((n, spd, _LANES), jnp.float32)
-    cgsig = jnp.zeros((n, n, spd, _LANES), jnp.float32)
-    gR_total = jnp.zeros((p, p, spd, _LANES), jnp.float32)
-
-    starts = list(range(0, T, ct))
-    parts = []
-    for start in reversed(starts):
-        end = min(start + ct, T)
-        Tc = end - start
-        sl = slice(start, end)
-        vspec = _vspec_factory(Tc)
-        smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
-        out_shape = [
-            jax.ShapeDtypeStruct((Tc, p, spd, _LANES), jnp.float32),      # gy
-            jax.ShapeDtypeStruct((Tc, m, spd, _LANES), jnp.float32),      # gu
-            jax.ShapeDtypeStruct((Tc, n, n, spd, _LANES), jnp.float32),   # gA
-            jax.ShapeDtypeStruct((Tc, n, m, spd, _LANES), jnp.float32),   # gB
-            jax.ShapeDtypeStruct((Tc, p, n, spd, _LANES), jnp.float32),   # gC
-            jax.ShapeDtypeStruct((Tc, n, n, spd, _LANES), jnp.float32),   # gQ
-            jax.ShapeDtypeStruct((n, spd, _LANES), jnp.float32),          # ogmu
-            jax.ShapeDtypeStruct((n, n, spd, _LANES), jnp.float32),       # ogsig
-            jax.ShapeDtypeStruct((p, p, spd, _LANES), jnp.float32),       # ogr
-        ]
-        outs = pl.pallas_call(
-            functools.partial(_filter_bwd_kernel, T=Tc, n=n, m=m, p=p),
-            grid=(n_tiles,),
-            in_specs=[
-                smem((p, p), lambda g: (0, 0)),
-                vspec(p), vspec(m), vspec(), vspec(n, n), vspec(n, m),
-                vspec(p, n), vspec(n, n),
-                vspec(n), vspec(n, n),
-                vspec(n), vspec(n, n),
-                vspec(n), vspec(n, n), vspec(n), vspec(n, n),
-                vspec(n, t=False), vspec(n, n, t=False),
-            ],
-            out_specs=[
-                vspec(p), vspec(m), vspec(n, n), vspec(n, m), vspec(p, n),
-                vspec(n, n),
-                vspec(n, t=False), vspec(n, n, t=False), vspec(p, p, t=False),
-            ],
-            out_shape=out_shape,
-            interpret=interpret,
-        )(
-            R,
-            y_t[sl], u_t[sl], mask_t[sl], A_t[sl], B_t[sl], C_t[sl], Q_t[sl],
-            muprev_t[sl], sigprev_t[sl],
-            mup_t[sl], sigp_t[sl],
-            gmuf_t[sl], gsigf_t[sl], gmup_t[sl], gsigp_t[sl],
-            cgmu, cgsig,
-        )
-        gy_c, gu_c, gA_c, gB_c, gC_c, gQ_c, cgmu, cgsig, gR_c = outs
-        gR_total = gR_total + gR_c
-        parts.append((gy_c, gu_c, gA_c, gB_c, gC_c, gQ_c))
-
-    parts.reverse()
-    cat = lambda i: jnp.concatenate([pt[i] for pt in parts], axis=0)
-    gy = _from_tiles(cat(0), batch)
-    gu = _from_tiles(cat(1), batch)
-    gA = _from_tiles(cat(2), batch)
-    gB = _from_tiles(cat(3), batch)
-    gC = _from_tiles(cat(4), batch)
-    gQ = _from_tiles(cat(5), batch)
+    touts, carries = _seq_chunked_call(
+        _filter_bwd_body,
+        smem_ins=[R],
+        time_ins=[y_t, u_t, mask_t, A_t, B_t, C_t,
+                  muprev_t, sigprev_t, mup_t, sigp_t,
+                  gmuf_t, gsigf_t, gmup_t, gsigp_t],
+        carry_init=[
+            jnp.zeros((n, spd, _LANES), jnp.float32),
+            jnp.zeros((n, n, spd, _LANES), jnp.float32),
+            jnp.zeros((p, p, spd, _LANES), jnp.float32),
+        ],
+        out_dims=[(p,), (m,), (n, n), (n, m), (p, n), (n, n)],
+        T=T, ct=_filter_bwd_chunk_len(T, n, m, p), reverse=True,
+        n_tiles=n_tiles, interpret=interpret,
+    )
+    gy = _from_tiles(touts[0], batch)
+    gu = _from_tiles(touts[1], batch)
+    gA = _from_tiles(touts[2], batch)
+    gB = _from_tiles(touts[3], batch)
+    gC = _from_tiles(touts[4], batch)
+    gQ = _from_tiles(touts[5], batch)
+    cgmu, cgsig, gR_total = carries
     gmu0 = jnp.sum(_from_tiles(cgmu[None], batch)[:, 0], axis=0)
     gsigma0 = jnp.sum(_from_tiles(cgsig[None], batch)[:, 0], axis=0)
     gR = jnp.sum(_from_tiles(gR_total[None], batch)[:, 0], axis=0)
@@ -458,8 +396,7 @@ def _filter_bwd_raw(
 
 def _rts_bwd_chunk_len(T, n):
     tiles = 2 * n + 2 * n * n + n * n + n + n * n + 2 * n + 2 * n * n + 3 * n * n
-    bytes_per_step = tiles * _SUBLANES * _LANES * 4
-    return max(1, min(T, _VMEM_BUDGET_BYTES // bytes_per_step))
+    return _steps_in_budget(T, tiles)
 
 
 def _rts_bwd_raw(muf, sigf, mup, sigp, A, mus, sigs, gmus, gsigs, *, interpret):
@@ -477,54 +414,21 @@ def _rts_bwd_raw(muf, sigf, mup, sigp, A, mus, sigs, gmus, gsigs, *, interpret):
     cgm = jnp.zeros((n, spd, _LANES), jnp.float32)
     cgp = jnp.zeros((n, n, spd, _LANES), jnp.float32)
 
-    ct = _rts_bwd_chunk_len(T, n)
-    parts = []
-    for start in range(0, T - 1, ct):   # FORWARD over recursion indices
-        end = min(start + ct, T - 1)
-        Tc = end - start
-        vspec = _vspec_factory(Tc)
-        out_shape = [
-            jax.ShapeDtypeStruct((Tc, n, spd, _LANES), jnp.float32),      # gmf
-            jax.ShapeDtypeStruct((Tc, n, n, spd, _LANES), jnp.float32),   # gpf
-            jax.ShapeDtypeStruct((Tc, n, spd, _LANES), jnp.float32),      # gmpn
-            jax.ShapeDtypeStruct((Tc, n, n, spd, _LANES), jnp.float32),   # gppn
-            jax.ShapeDtypeStruct((Tc, n, n, spd, _LANES), jnp.float32),   # gan
-            jax.ShapeDtypeStruct((n, spd, _LANES), jnp.float32),          # ogm
-            jax.ShapeDtypeStruct((n, n, spd, _LANES), jnp.float32),       # ogp
-        ]
-        outs = pl.pallas_call(
-            functools.partial(_rts_bwd_kernel, T=Tc, n=n),
-            grid=(n_tiles,),
-            in_specs=[
-                vspec(n), vspec(n, n), vspec(n), vspec(n, n), vspec(n, n),
-                vspec(n), vspec(n, n),
-                vspec(n), vspec(n, n),
-                vspec(n, t=False), vspec(n, n, t=False),
-            ],
-            out_specs=[
-                vspec(n), vspec(n, n), vspec(n), vspec(n, n), vspec(n, n),
-                vspec(n, t=False), vspec(n, n, t=False),
-            ],
-            out_shape=out_shape,
-            interpret=interpret,
-        )(
-            muf_t[start:end], sigf_t[start:end],
-            mup_t[start + 1:end + 1], sigp_t[start + 1:end + 1],
-            A_t[start + 1:end + 1],
-            mus_t[start + 1:end + 1], sigs_t[start + 1:end + 1],
-            gmus_t[start:end], gsigs_t[start:end],
-            cgm, cgp,
-        )
-        gmf_c, gpf_c, gmpn_c, gppn_c, gan_c, cgm, cgp = outs
-        parts.append((gmf_c, gpf_c, gmpn_c, gppn_c, gan_c))
-
-    if parts:
-        cat = lambda i: jnp.concatenate([pt[i] for pt in parts], axis=0)
-        gmf = cat(0); gpf = cat(1); gmpn = cat(2); gppn = cat(3); gan = cat(4)
-    else:  # T == 1
-        z = jnp.zeros((0, n, spd, _LANES), jnp.float32)
-        zm = jnp.zeros((0, n, n, spd, _LANES), jnp.float32)
-        gmf, gpf, gmpn, gppn, gan = z, zm, z, zm, zm
+    # FORWARD over recursion indices [0, T-1)
+    touts, carries = _seq_chunked_call(
+        _rts_bwd_body,
+        smem_ins=[],
+        time_ins=[muf_t[:T - 1], sigf_t[:T - 1],
+                  mup_t[1:T], sigp_t[1:T], A_t[1:T],
+                  mus_t[1:T], sigs_t[1:T],
+                  gmus_t[:T - 1], gsigs_t[:T - 1]],
+        carry_init=[cgm, cgp],
+        out_dims=[(n,), (n, n), (n,), (n, n), (n, n)],
+        T=T - 1, ct=_rts_bwd_chunk_len(T, n), reverse=False,
+        n_tiles=n_tiles, interpret=interpret,
+    )
+    gmf, gpf, gmpn, gppn, gan = touts
+    cgm, cgp = carries
 
     # last smoothed element is the filtered posterior at T-1
     gmuf_t = jnp.concatenate([gmf, (gmus_t[T - 1] + cgm)[None]], axis=0)
