@@ -75,6 +75,20 @@ def main():
         res = sess.impute(sample[:b], mask[:b])
         print(f"session impute B={b:2d} -> x_imputed {res['x_imputed'].shape}")
 
+    # -- streaming: online per-frame filtering (causal lstm dynamics) ----
+    if cfg.dynamics_model.lower() == "lstm":
+        from kvae_tpu.serve import StreamingSession
+
+        stream = StreamingSession(cfg, state.params, batch_size=1)
+        stream.step(sample[:1, 0])  # first call compiles
+        t0 = time.perf_counter()
+        for t in range(args.T):
+            out = stream.step(sample[:1, t] if t < 4 else None)  # drop t>=4
+        dt = (time.perf_counter() - t0) / args.T
+        print(f"streaming step: {dt*1e3:.2f} ms/frame "
+              f"(4 observed then free-running prediction; "
+              f"last x_pred mean {out['x_pred'].mean():.3f})")
+
 
 if __name__ == "__main__":
     main()

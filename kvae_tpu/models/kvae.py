@@ -34,6 +34,7 @@ from kvae_tpu.models.losses import count_active_units, vae_loss
 from kvae_tpu.models.vae import Decoder, Encoder, reparameterize
 from kvae_tpu.ops.lgssm import (
     LGSSMParams,
+    filter_step,
     lgssm_elbo,
     lgssm_generate,
     lgssm_smooth,
@@ -353,3 +354,97 @@ class KVAE(nn.Module):
         )
         x_gen = self._maybe_sigmoid(self.decode_sequence(a_seq))
         return {"z_gen": z_seq, "a_gen": a_seq, "x_gen": x_gen}
+
+    # ------------------------------------------------------------------
+    # streaming (online, per-frame) inference
+    # ------------------------------------------------------------------
+
+    def stream_init(self, batch: int):
+        """Initial carry for `stream_step` — online per-frame filtering.
+
+        Streaming requires CAUSAL dynamics. The LSTM-alpha network is causal
+        (its input is the previous step's pseudo-observation), so
+        dynamics_model="lstm" streams exactly: a stream of `stream_step`
+        calls computes the same filtered posterior as the offline masked
+        filter (gated by tests/test_serve.py). The switching variant's
+        regime posterior is a BiGRU over the WHOLE sequence (reference
+        switch_dyn_param.py:113-129) — acausal by construction — so it
+        cannot stream and is rejected here.
+        """
+        cfg = self.config
+        if cfg.dynamics_model.lower() != "lstm":
+            raise ValueError(
+                "streaming requires causal dynamics (dynamics_model='lstm'); "
+                "the switching regime posterior is a bidirectional GRU over "
+                "the whole sequence and cannot run online"
+            )
+        params = self.lgssm_params
+        n, p = cfg.z_dim, cfg.a_dim
+        mu0 = jnp.broadcast_to(params.mu0, (batch, n))
+        sigma0 = jnp.broadcast_to(params.sigma0, (batch, n, n))
+        dyn_carry = self.dynamics.init_carry(batch)
+        y_for_dyn0 = jnp.zeros((batch, p), jnp.float32)  # reference :142
+        return (mu0, sigma0, dyn_carry, y_for_dyn0)
+
+    def stream_step(
+        self,
+        carry,
+        frame: jax.Array,        # [B,C,H,W] the new frame (pixels may be junk
+        #                          on unobserved steps — `observed` gates it)
+        observed: jax.Array,     # [B] 1.0 = real measurement, 0.0 = missing
+        u: Optional[jax.Array] = None,  # [B,u_dim] control input
+    ):
+        """One online filter step: encode the frame (deterministic encoder
+        mean — no sampling on the serving path), advance the alpha-LSTM on
+        the pseudo-observation feedback, run one masked predict+update, and
+        decode the filtered latent. O(1) work per frame, constant carry.
+
+        Identical semantics to one step of the offline masked filter
+        (ops/lgssm.py::lgssm_filter step_dynamics path, itself mirroring
+        reference kalman_filter.py:151-185): on unobserved frames the gain is
+        zeroed and the dynamics net sees the filter's own prediction.
+
+        Returns (carry', outputs) with:
+          a_t        [B,p]  encoder mean of this frame
+          a_filt     [B,p]  C_t mu_t|t   (online state estimate)
+          x_filt     [B,C,H,W] decoded filtered frame (the online imputation)
+          a_pred     [B,p]  C_t mu_t|t-1 (one-step-ahead prediction made
+                            BEFORE seeing this frame)
+          x_pred     [B,C,H,W] decoded prediction
+          mu_filt / sigma_filt / alpha — posterior + mixture diagnostics
+        """
+        cfg = self.config
+        b = frame.shape[0]
+        params = self.lgssm_params
+        eye_n = jnp.eye(cfg.z_dim, dtype=jnp.float32)
+        if u is None:
+            u = jnp.zeros((b, cfg.u_dim), jnp.float32)
+        observed = observed.astype(jnp.float32)
+
+        a_t, _ = self.encoder(jnp.transpose(frame, (0, 2, 3, 1)))
+
+        mu, sigma, dyn_carry, y_for_dyn = carry
+        dyn_carry, (A, B, C, Q, alpha) = self.dynamics.step(
+            dyn_carry, y_for_dyn, params.Q
+        )
+        mu_new, sigma_new, mu_pred, _, y_hat = filter_step(
+            mu, sigma, a_t, u, observed, A, B, C, Q, params.R, eye_n
+        )
+        m_col = observed[:, None]
+        y_next = m_col * a_t + (1.0 - m_col) * y_hat
+
+        a_filt = einsum("bpn,bn->bp", C, mu_new)
+        decode1 = lambda a: self._maybe_sigmoid(
+            jnp.transpose(self.decoder(a), (0, 3, 1, 2))
+        )
+        outputs = {
+            "a_t": a_t,
+            "a_filt": a_filt,
+            "x_filt": decode1(a_filt),
+            "a_pred": y_hat,
+            "x_pred": decode1(y_hat),
+            "mu_filt": mu_new,
+            "sigma_filt": sigma_new,
+            "alpha": alpha,
+        }
+        return (mu_new, sigma_new, dyn_carry, y_next), outputs

@@ -15,6 +15,10 @@ Two pieces:
   len(buckets) pre-compiled programs; batch rows are independent end-to-end
   (per-sequence Kalman recursion, per-frame convs — no cross-batch coupling),
   so padding rows never leak into real outputs (gated by test).
+- `StreamingSession` / `export_stream`: ONLINE inference — one frame in,
+  filtered state + one-step-ahead prediction out, O(1) per frame. Exact
+  (matches the offline masked filter, gated by test); requires the causal
+  LSTM-alpha dynamics (the switching BiGRU posterior is acausal).
 
 The reference has no serving story at all (single-process research trainer,
 SURVEY.md §2.2); this subsystem is beyond-parity by design for the
@@ -35,8 +39,10 @@ from kvae_tpu.models.kvae import KVAE
 __all__ = [
     "export_imputer",
     "export_generator",
+    "export_stream",
     "load_exported",
     "InferenceSession",
+    "StreamingSession",
 ]
 
 
@@ -212,3 +218,109 @@ class InferenceSession:
         return export_imputer(
             self.cfg, self._params, bucket or self.buckets[-1], self.T
         )
+
+
+# ---------------------------------------------------------------------------
+# Online (streaming) inference
+# ---------------------------------------------------------------------------
+
+def _stream_fns(cfg: KVAEConfig, params):
+    """(init, step) callables with params closed over. `step` signature:
+    (carry, frame[B,C,H,W], observed[B]) -> (carry', outputs)."""
+    model = KVAE(cfg)
+
+    def init(batch: int):
+        return model.apply({"params": params}, batch, method=KVAE.stream_init)
+
+    def step(carry, frame, observed):
+        return model.apply(
+            {"params": params}, carry, frame, observed, method=KVAE.stream_step
+        )
+
+    return init, step
+
+
+def export_stream(cfg: KVAEConfig, params, batch_size: int) -> bytes:
+    """Serialize the streaming filter step to a portable artifact.
+
+    The loaded callable is the pure transition
+        (carry, frame[B,C,H,W] f32, observed[B] f32) -> (carry', outputs)
+    where `carry` is the pytree returned by `StreamingSession.initial_carry`
+    (and threaded back by the caller between frames) — the serving host owns
+    the state, the program stays pure. Only causal (lstm) dynamics stream;
+    see KVAE.stream_init."""
+    init, step = _stream_fns(cfg, params)
+    c, h, w = _frame_shape(cfg)
+    carry_spec = jax.eval_shape(lambda: init(batch_size))
+    specs = (
+        carry_spec,
+        jax.ShapeDtypeStruct((batch_size, c, h, w), jnp.float32),
+        jax.ShapeDtypeStruct((batch_size,), jnp.float32),
+    )
+    exported = jax.export.export(jax.jit(step))(*specs)
+    return exported.serialize()
+
+
+class StreamingSession:
+    """Online per-frame inference: feed frames one at a time, get the
+    filtered state estimate, decoded filtered frame and one-step-ahead
+    prediction back with O(1) work and constant memory per frame. The
+    per-frame latency is one pre-compiled XLA program (compiled lazily on
+    the first frame, cached for the session's life).
+
+    Requires causal dynamics (dynamics_model='lstm'; the switching BiGRU
+    posterior is acausal — KVAE.stream_init docstring).
+
+    >>> sess = StreamingSession(cfg, state.params, batch_size=1)
+    >>> for frame in camera:                     # [1,C,H,W]
+    ...     out = sess.step(frame)               # observed frame
+    >>> out = sess.step(None)                    # dropped frame: predict-only
+    """
+
+    def __init__(self, cfg: KVAEConfig, params, batch_size: int, seed: int = 0):
+        self.cfg = cfg
+        self.batch_size = int(batch_size)
+        init, step = _stream_fns(cfg, params)
+        self._params = params
+        self._init = init
+        self._step = jax.jit(step)
+        self._carry = init(self.batch_size)
+        self._frame_shape = _frame_shape(cfg)
+
+    def reset(self) -> None:
+        """Start a new sequence (reference dyn_params.reset_state +
+        prior-reset of the filter posterior)."""
+        self._carry = self._init(self.batch_size)
+
+    @property
+    def initial_carry(self):
+        return self._init(self.batch_size)
+
+    def step(
+        self,
+        frame: Optional[np.ndarray],
+        observed: Optional[np.ndarray] = None,
+    ) -> Dict[str, np.ndarray]:
+        """Advance one frame. `frame` [B,C,H,W] (or None = all-missing:
+        pure predict step, e.g. a dropped camera frame); `observed` [B]
+        optionally marks per-row missingness."""
+        c, h, w = self._frame_shape
+        if frame is None:
+            frame = np.zeros((self.batch_size, c, h, w), np.float32)
+            observed = np.zeros((self.batch_size,), np.float32)
+        frame = np.asarray(frame, np.float32)
+        if frame.shape != (self.batch_size, c, h, w):
+            raise ValueError(
+                f"frame must be [{self.batch_size},{c},{h},{w}], got {frame.shape}"
+            )
+        if observed is None:
+            observed = np.ones((self.batch_size,), np.float32)
+        self._carry, out = self._step(
+            self._carry, jnp.asarray(frame),
+            jnp.asarray(np.asarray(observed, np.float32)),
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    def export(self) -> bytes:
+        """Portable artifact of the streaming step (see `export_stream`)."""
+        return export_stream(self.cfg, self._params, self.batch_size)

@@ -15,7 +15,14 @@ import pytest
 
 from kvae_tpu.config import KVAEConfig
 from kvae_tpu.models.kvae import KVAE
-from kvae_tpu.serve import InferenceSession, export_imputer, load_exported
+from kvae_tpu.ops.lgssm import lgssm_filter
+from kvae_tpu.serve import (
+    InferenceSession,
+    StreamingSession,
+    export_imputer,
+    export_stream,
+    load_exported,
+)
 
 
 @pytest.fixture(scope="module")
@@ -112,6 +119,119 @@ def test_session_rejects_oversize_and_bad_T(small_model):
         sess.impute(x, np.ones((4, 6), np.float32))
     with pytest.raises(ValueError, match="must be"):
         sess.impute(np.zeros((1, 5, 1, 16, 16), np.float32), np.ones((1, 5), np.float32))
+
+
+@pytest.fixture(scope="module")
+def lstm_model():
+    cfg = KVAEConfig(
+        dynamics_model="lstm", num_modes=2, a_dim=2, z_dim=3,
+        img_size=16, encoder_channels=[8, 8], decoder_channels=[8, 8],
+        filter_impl="scan",
+    )
+    model = KVAE(cfg)
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.uniform(size=(4, 6, 1, 16, 16)).astype(np.float32))
+    variables = model.init(
+        {"params": jax.random.PRNGKey(3), "sample": jax.random.PRNGKey(4),
+         "gumbel": jax.random.PRNGKey(5)},
+        x, tau=jnp.asarray(1.0), train=True,
+    )
+    return cfg, model, variables["params"]
+
+
+def test_streaming_matches_offline_masked_filter(lstm_model):
+    """A stream of per-frame `stream_step` calls computes the same filtered
+    posterior (and alpha mixture) as the offline masked filter run on the
+    identical encoder outputs — streaming is exact, not an approximation."""
+    cfg, model, params = lstm_model
+    B, T = 3, 8
+    rng = np.random.default_rng(6)
+    frames = rng.uniform(size=(T, B, 1, 16, 16)).astype(np.float32)
+    mask = (rng.uniform(size=(B, T)) > 0.4).astype(np.float32)
+    mask[:, 0] = 1.0  # first frame observed
+
+    sess = StreamingSession(cfg, params, batch_size=B)
+    a_steps, mu_steps, sig_steps, alpha_steps = [], [], [], []
+    for t in range(T):
+        out = sess.step(frames[t], observed=mask[:, t])
+        a_steps.append(out["a_t"])
+        mu_steps.append(out["mu_filt"])
+        sig_steps.append(out["sigma_filt"])
+        alpha_steps.append(out["alpha"])
+        assert out["x_filt"].shape == (B, 1, 16, 16)
+        assert np.isfinite(out["x_filt"]).all()
+        assert np.isfinite(out["x_pred"]).all()
+
+    a_seq = jnp.asarray(np.stack(a_steps, axis=1))  # [B,T,p]
+
+    def offline(m, a_seq, mask):
+        b, t, _ = a_seq.shape
+        u = jnp.zeros((b, t, m.config.u_dim), jnp.float32)
+        carry0 = m.dynamics.init_carry(b)
+        step = lambda c, y: m.dynamics.step(c, y, m.lgssm_params.Q)
+        return lgssm_filter(
+            a_seq, u, jnp.asarray(mask), m.lgssm_params,
+            step_dynamics=step, step_dynamics_carry=carry0,
+        )
+
+    fr = model.apply({"params": params}, a_seq, mask, method=offline)
+    np.testing.assert_allclose(
+        np.stack(mu_steps, axis=1), np.asarray(fr.mu_filt),
+        rtol=1e-5, atol=1e-6, err_msg="mu_filt",
+    )
+    np.testing.assert_allclose(
+        np.stack(sig_steps, axis=1), np.asarray(fr.sigma_filt),
+        rtol=1e-5, atol=1e-6, err_msg="sigma_filt",
+    )
+    np.testing.assert_allclose(
+        np.stack(alpha_steps, axis=1), np.asarray(fr.aux),
+        rtol=1e-5, atol=1e-6, err_msg="alpha",
+    )
+
+
+def test_streaming_dropped_frame_and_reset(lstm_model):
+    cfg, _, params = lstm_model
+    sess = StreamingSession(cfg, params, batch_size=2)
+    rng = np.random.default_rng(7)
+    sess.step(rng.uniform(size=(2, 1, 16, 16)).astype(np.float32))
+    out_drop = sess.step(None)  # dropped frame: pure predict
+    assert np.isfinite(out_drop["x_pred"]).all()
+    # after reset, the same first frame reproduces the same posterior
+    sess.reset()
+    frame0 = rng.uniform(size=(2, 1, 16, 16)).astype(np.float32)
+    ra = sess.step(frame0)
+    sess.reset()
+    rb = sess.step(frame0)
+    np.testing.assert_array_equal(ra["mu_filt"], rb["mu_filt"])
+
+
+def test_streaming_rejects_acausal_dynamics(small_model):
+    cfg, _, params = small_model  # switching: BiGRU posterior, acausal
+    with pytest.raises(ValueError, match="causal"):
+        StreamingSession(cfg, params, batch_size=1)
+
+
+def test_stream_export_roundtrip(lstm_model):
+    """The exported streaming artifact reproduces the live session exactly,
+    with the caller threading the carry between frames."""
+    cfg, _, params = lstm_model
+    B = 2
+    blob = export_stream(cfg, params, batch_size=B)
+    assert isinstance(blob, (bytes, bytearray)) and len(blob) > 0
+    fn = load_exported(blob)
+
+    sess = StreamingSession(cfg, params, batch_size=B)
+    carry = sess.initial_carry
+    rng = np.random.default_rng(8)
+    for t in range(3):
+        frame = rng.uniform(size=(B, 1, 16, 16)).astype(np.float32)
+        observed = np.ones((B,), np.float32) if t != 1 else np.zeros((B,), np.float32)
+        carry, got = fn(carry, jnp.asarray(frame), jnp.asarray(observed))
+        want = sess.step(frame, observed=observed)
+        for k in want:
+            np.testing.assert_allclose(
+                np.asarray(got[k]), want[k], rtol=1e-6, atol=1e-6, err_msg=k
+            )
 
 
 def test_session_generate(small_model):
