@@ -93,6 +93,7 @@ class DeviceDataLoader:
         self.dataset = dataset
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
+        self.seed = int(seed)
         self.rng = np.random.default_rng(seed)
         data = dataset.materialize(np.asarray(indices))
         self.images = jax.device_put(data["images"])
@@ -102,10 +103,17 @@ class DeviceDataLoader:
     def __len__(self) -> int:
         return self.n // self.batch_size
 
-    def epoch_order(self) -> np.ndarray:
+    def epoch_order(self, epoch: int = 0) -> np.ndarray:
         """Per-epoch (shuffled) index vector, truncated to whole batches —
-        the input to the fused epoch runner (train.state.make_epoch_runner)."""
-        order = self.rng.permutation(self.n) if self.shuffle else np.arange(self.n)
+        the input to the fused epoch runner (train.state.make_epoch_runner).
+        A pure function of (loader seed, epoch), NOT of how many epochs ran
+        in this process — so a run resumed from a checkpoint at epoch k sees
+        the identical shuffles the uninterrupted run saw (bit-exact resume,
+        tests/test_train.py)."""
+        if not self.shuffle:
+            order = np.arange(self.n)
+        else:
+            order = np.random.default_rng((self.seed, epoch)).permutation(self.n)
         return order[: len(self) * self.batch_size].astype(np.int32)
 
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:

@@ -1,4 +1,4 @@
-"""Orbax checkpointing with best-val tracking and restore-and-continue.
+"""Orbax async checkpointing with best-val tracking and restore-and-continue.
 
 Beyond-parity by design (SURVEY.md §5): the reference Checkpointer
 (kvae/train/utils.py:165-209) saves `kvae-best.pt` + periodic epoch
@@ -6,6 +6,15 @@ checkpoints but has NO resume path in its trainer. Here the full TrainState
 (params, optimizer moments, RNG key, epoch/step/schedule position, best-val)
 round-trips through orbax, enabling preemption-safe resume — standard TPU
 practice.
+
+Saves are ASYNC: orbax's StandardCheckpointer copies device arrays to host
+synchronously (so donated/overwritten device buffers are safe the moment
+`save()` returns) and writes to disk on a background thread; training
+resumes immediately. A new save first drains any in-flight one, and
+`close()` drains at shutdown. Preemption: the trainer installs a SIGTERM
+handler (see loop.py) that finishes the epoch, writes `kvae-latest`
+synchronously, and exits — `--resume <run>/checkpoints/kvae-latest`
+continues bit-exact.
 """
 from __future__ import annotations
 
@@ -37,18 +46,30 @@ class Checkpointer:
         if self.ckpt_every > 0 and epoch % self.ckpt_every == 0:
             self._save(self.dir / f"kvae-ckpt-epoch_{epoch:03d}", state)
 
-    def save_latest(self, state: TrainState):
-        """Preemption-safe rolling checkpoint."""
-        self._save(self.dir / "kvae-latest", state)
+    def save_latest(self, state: TrainState, wait: bool = False):
+        """Preemption-safe rolling checkpoint. `wait=True` blocks until the
+        bytes are on disk (used on the SIGTERM path, where the process exits
+        right after)."""
+        self._save(self.dir / "kvae-latest", state, wait=wait)
 
-    def _save(self, path: Path, state: TrainState):
-        self._ckptr.save(path, state, force=True)
+    def _save(self, path: Path, state: TrainState, wait: bool = False):
+        # Drain any in-flight async save first (orbax requires one commit at
+        # a time per checkpointer); the device->host copy below is the only
+        # synchronous part of the new save.
         self._ckptr.wait_until_finished()
-        logger.info(f"Saved checkpoint to {path}")
+        self._ckptr.save(path, state, force=True)
+        if wait:
+            self._ckptr.wait_until_finished()
+        logger.info(f"Saving checkpoint to {path}" + (" (sync)" if wait else " (async)"))
+
+    def close(self):
+        """Drain in-flight saves; call once when training ends."""
+        self._ckptr.wait_until_finished()
 
     def restore(self, name: str, target: TrainState) -> TrainState:
         """Restore by checkpoint name ('kvae-best', 'kvae-latest', ...) using
         `target`'s structure/shardings as the abstract template."""
+        self._ckptr.wait_until_finished()  # don't read a half-written save
         path = self.dir / name
         abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
         return self._ckptr.restore(path, abstract)

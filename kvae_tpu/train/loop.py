@@ -21,6 +21,7 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import signal
 import time
 from pathlib import Path
 
@@ -172,6 +173,22 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
     eval_key = jax.random.PRNGKey(tcfg.seed + 1)
     profiled = False
 
+    # Preemption handling (SURVEY §5): SIGTERM sets a flag; the epoch loop
+    # notices at its next boundary, writes `kvae-latest` synchronously, and
+    # returns. `--resume <run>/checkpoints/kvae-latest` continues bit-exact.
+    # Flag-based (not save-in-handler) so the interrupt never lands mid-RPC.
+    preempted = {"flag": False}
+
+    def _on_sigterm(signum, frame):
+        preempted["flag"] = True
+        logger.warning("SIGTERM received: will checkpoint and exit at the "
+                       "next epoch boundary")
+
+    try:
+        prev_sigterm = signal.signal(signal.SIGTERM, _on_sigterm)
+    except ValueError:  # not the main thread (e.g. driven from a test runner)
+        prev_sigterm = None
+
     def fetch_scalars(tree):
         """One device->host round trip for a whole dict of device scalars
         (per-scalar float() costs a ~33 ms RPC each on tunneled backends)."""
@@ -194,7 +211,7 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
         t0 = time.perf_counter()
         if fused_epochs:
             n_steps = len(train_loader)
-            order = jnp.asarray(train_loader.epoch_order())
+            order = jnp.asarray(train_loader.epoch_order(epoch))
             state, metrics_dev = epoch_run(state, train_loader.images, order, phase)
             train_metrics = fetch_scalars(metrics_dev)  # one sync
         else:
@@ -220,13 +237,15 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
         train_metrics["steps_per_sec"] = steps_per_sec
 
         # ---- eval epoch (fully observed) ----
-        # RNG note: fused mode derives per-batch keys as fold_in(key, i) and
-        # advances eval_key once per epoch; stepwise splits eval_key once per
-        # batch. Eval metrics are therefore not bit-comparable across the two
-        # modes (sampling noise only; distributions are identical).
+        # RNG note: all eval keys derive statelessly from (eval_key root,
+        # epoch) — a resumed run reproduces the uninterrupted run's eval
+        # stream exactly. Fused mode then folds in the batch index; stepwise
+        # splits per batch. The two modes draw different (equidistributed)
+        # samples, so eval metrics are not bit-comparable across modes.
+        epoch_eval_key = jax.random.fold_in(eval_key, epoch)
         if fused_epochs:
-            eval_key, k = jax.random.split(eval_key)
-            order = jnp.asarray(val_loader.epoch_order())
+            k = jax.random.fold_in(epoch_eval_key, 0)
+            order = jnp.asarray(val_loader.epoch_order(epoch))
             metrics_dev, viz = eval_epoch_run(state, val_loader.images, order, k)
             val_metrics = fetch_scalars(metrics_dev)
             last_batch = {"images": viz["x"]}
@@ -234,8 +253,8 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
             acc = MeanAccumulator()
             viz = None
             last_batch = None
-            for batch in val_loader:
-                eval_key, k = jax.random.split(eval_key)
+            for i, batch in enumerate(val_loader):
+                k = jax.random.fold_in(epoch_eval_key, 1 + i)
                 metrics, viz = eval_step(state, batch["images"], k)
                 acc.update(metrics)
                 last_batch = batch
@@ -254,7 +273,8 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
 
         impute_msg = ""
         if tcfg.add_imputation_plots and epoch % 5 == 0:
-            eval_key, k1, k2 = jax.random.split(eval_key, 3)
+            k1 = jax.random.fold_in(epoch_eval_key, 1000)
+            k2 = jax.random.fold_in(epoch_eval_key, 1001)
             kf_mse, naive_mse = kalman_prediction_test(pred_step, state, val_loader, k1)
             writer.log_scalar("val/pred_mse_kf", kf_mse, epoch)
             writer.log_scalar("val/pred_mse_naive", naive_mse, epoch)
@@ -302,9 +322,19 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
             best_val=jnp.minimum(state.best_val, val_metrics["loss"])
         )
         ckpt.save_checkpoints(train_metrics["loss"], val_metrics["loss"], state, epoch)
-        ckpt.save_latest(state.advance_epoch())
         state = state.advance_epoch()
+        if preempted["flag"]:
+            ckpt.save_latest(state, wait=True)
+            logger.warning(
+                f"preempted after epoch {epoch}: kvae-latest written, exiting "
+                f"(resume with --resume {ckpt.dir / 'kvae-latest'})"
+            )
+            break
+        ckpt.save_latest(state)
 
+    ckpt.close()  # drain in-flight async saves
+    if prev_sigterm is not None:
+        signal.signal(signal.SIGTERM, prev_sigterm)
     writer.close()
     return {
         "best_val": ckpt.best_val,

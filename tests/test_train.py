@@ -318,6 +318,103 @@ def test_warm_start_rejects_mismatched_arch(tmp_path):
 
 
 @pytest.mark.slow
+def test_preemption_sigterm_resume_bit_exact(tmp_path):
+    """Preemption drill (SURVEY §5): SIGTERM a live training subprocess; it
+    must finish the in-flight epoch, write `kvae-latest` synchronously, and
+    exit cleanly. Resuming from that checkpoint must reproduce the
+    uninterrupted run BIT-EXACT — possible because every RNG stream (train
+    key in TrainState, eval keys, epoch shuffles) is a pure function of
+    (seed, epoch), never of how many epochs this process ran."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import time as _time
+
+    from kvae_tpu.config import parse_config_dict
+    from kvae_tpu.train.loop import train
+
+    raw = {
+        "dataset": {"type": "bouncing_ball", "val_split": 0.25,
+                    "kwargs": {"num_sequences": 48, "seq_len": 6,
+                               "img_size": 32, "seed": 0}},
+        "training": {"max_epochs": 5, "batch_size": 12, "lr": 3e-3,
+                     "pretrain_vae_epochs": 1, "warmup_epochs": 1,
+                     "ckpt_every": 0, "logdir": str(tmp_path), "seed": 3},
+        "kvae": {"dynamics_model": "switching", "num_modes": 2},
+    }
+
+    # --- run A: uninterrupted, in-process ---
+    dir_a = tmp_path / "run_a"
+    train(parse_config_dict(raw), runs_dir=dir_a)
+    cfg = parse_config_dict(raw)
+    _, val_loader = build_dataloaders(
+        cfg["dataset"], cfg["training"].batch_size, seed=cfg["training"].seed
+    )
+    sample = next(iter(val_loader))["images"]
+    _, template, _ = create_train_state(cfg["kvae"], cfg["training"], sample)
+    final_a = restore_train_state(dir_a / "checkpoints" / "kvae-latest", template)
+    assert int(final_a.epoch) == 6  # advanced past max_epochs
+
+    # --- run B: subprocess, SIGTERM after two epochs have logged ---
+    dir_b = tmp_path / "run_b"
+    script = (
+        "import json, sys\n"
+        "from kvae_tpu.config import parse_config_dict\n"
+        "from kvae_tpu.train.loop import train\n"
+        "raw = json.loads(sys.argv[1])\n"
+        "train(parse_config_dict(raw), runs_dir=sys.argv[2])\n"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    proc = subprocess.Popen(
+        [sys.executable, "-c", script, json.dumps(raw), str(dir_b)],
+        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+    )
+    metrics_file = dir_b / "metrics.jsonl"
+
+    def train_epochs_logged():
+        if not metrics_file.exists():
+            return 0
+        with open(metrics_file) as f:
+            return sum(
+                1 for line in f
+                if json.loads(line).get("split") == "train"
+            )
+
+    deadline = _time.time() + 300
+    while _time.time() < deadline and train_epochs_logged() < 2:
+        if proc.poll() is not None:
+            raise AssertionError(f"training subprocess died rc={proc.returncode}")
+        _time.sleep(0.5)
+    assert train_epochs_logged() >= 2, "subprocess never reached epoch 2"
+    proc.send_signal(15)  # SIGTERM
+    assert proc.wait(timeout=300) == 0, "SIGTERM exit must be clean"
+
+    latest = restore_train_state(dir_b / "checkpoints" / "kvae-latest", template)
+    stopped_at = int(latest.epoch)
+    assert 2 < stopped_at <= 6, stopped_at  # interrupted mid-run, not at start
+
+    if stopped_at == 6:
+        final_b = latest  # signal landed during the last epoch; nothing to resume
+    else:
+        raw_resume = json.loads(json.dumps(raw))
+        cfg2 = parse_config_dict(raw_resume)
+        cfg2["training"].resume_from = str(dir_b / "checkpoints" / "kvae-latest")
+        train(cfg2, runs_dir=tmp_path / "run_b_resumed")
+        final_b = restore_train_state(
+            tmp_path / "run_b_resumed" / "checkpoints" / "kvae-latest", template
+        )
+
+    assert int(final_b.epoch) == 6
+    for a, b in zip(jax.tree.leaves(final_a.params), jax.tree.leaves(final_b.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(final_a.opt_state), jax.tree.leaves(final_b.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(final_a.key), np.asarray(final_b.key))
+
+
+@pytest.mark.slow
 def test_train_multidevice_matches_single(tmp_path):
     """End-to-end `train()` on the virtual 8-device mesh: the TrainState is
     replicated over the mesh, batches are sharded on the 'data' axis, and
