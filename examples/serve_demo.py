@@ -81,6 +81,7 @@ def main():
 
         stream = StreamingSession(cfg, state.params, batch_size=1)
         stream.step(sample[:1, 0])  # first call compiles
+        stream.reset()  # the warmup step advanced the carry; start clean
         t0 = time.perf_counter()
         for t in range(args.T):
             out = stream.step(sample[:1, t] if t < 4 else None)  # drop t>=4

@@ -44,7 +44,8 @@ class NPZVideoDataset:
     def _prepare(self):
         if self.image_key not in self.raw:
             raise KeyError(
-                f"Image key '{self.image_key}' not in NPZ. Available: {list(self.raw)}"
+                f"no array named '{self.image_key}' in this NPZ archive "
+                f"(it contains: {sorted(self.raw)})"
             )
         # Keep device (jax) arrays as-is: on-device-generated datasets flow
         # through shape normalization, the split gather (materialize) and the
@@ -68,7 +69,10 @@ class NPZVideoDataset:
         elif imgs.ndim == 3:
             seq = self._windows(imgs[:, None, :, :])
         else:
-            raise ValueError(f"Unsupported image array shape: {imgs.shape}")
+            raise ValueError(
+                f"cannot interpret a rank-{imgs.ndim} image array "
+                f"{imgs.shape} as video sequences (want 3, 4, or 5 dims)"
+            )
 
         if seq.ndim > 5:
             n, t = seq.shape[:2]

@@ -277,7 +277,7 @@ class StreamingSession:
     >>> out = sess.step(None)                    # dropped frame: predict-only
     """
 
-    def __init__(self, cfg: KVAEConfig, params, batch_size: int, seed: int = 0):
+    def __init__(self, cfg: KVAEConfig, params, batch_size: int):
         self.cfg = cfg
         self.batch_size = int(batch_size)
         init, step = _stream_fns(cfg, params)
@@ -306,6 +306,11 @@ class StreamingSession:
         optionally marks per-row missingness."""
         c, h, w = self._frame_shape
         if frame is None:
+            if observed is not None:
+                raise ValueError(
+                    "frame=None means a fully-missing step; passing `observed` "
+                    "alongside it is contradictory — supply the frame"
+                )
             frame = np.zeros((self.batch_size, c, h, w), np.float32)
             observed = np.zeros((self.batch_size,), np.float32)
         frame = np.asarray(frame, np.float32)
