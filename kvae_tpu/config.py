@@ -124,6 +124,12 @@ class TrainingConfig:
     #                                     only), lifted from the YAML
     #                                     `transforms:` section; applied on
     #                                     device inside the jitted step
+    kf_weight_ramp: bool = False        # ramp kf_weight 0 -> 1 linearly over the
+    #                                     warmup phase instead of the reference's
+    #                                     step jump at warmup start — protects the
+    #                                     pretrained VAE latents from the sudden
+    #                                     KF-ELBO gradient (seed-robustness fix,
+    #                                     PARITY.md multi-seed study)
     profile_steps: int = 0              # if >0, capture a jax.profiler trace of N steps
     fused_epochs: Any = "auto"          # "auto" | true | false — whole-epoch XLA
     #                                     fusion (needs device-resident data; auto =

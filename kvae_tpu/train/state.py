@@ -107,6 +107,15 @@ def make_raw_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         beta, tau, lr = _schedules(cfg, tcfg, state.epoch)
         kf_weight = phases_lib.kf_weight_for_phase(phase)
+        if tcfg.kf_weight_ramp and phase != "vae":
+            # 1/w, 2/w, ..., 1 over the warmup epochs, then held at 1 — a
+            # traced scalar derived from the epoch counter, so the ramp
+            # costs no recompiles (phase stays the only static argument).
+            w = max(tcfg.warmup_epochs, 1)
+            frac = (
+                jnp.asarray(state.epoch, jnp.float32) - tcfg.pretrain_vae_epochs
+            ) / w
+            kf_weight = kf_weight * jnp.clip(frac, 0.0, 1.0)
         key, k_sample, k_gumbel, k_noise = jax.random.split(state.key, 4)
         if tcfg.add_noise_std > 0:
             # `transforms: add_noise_std` — the reference's host-side
