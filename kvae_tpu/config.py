@@ -124,6 +124,13 @@ class TrainingConfig:
     #                                     only), lifted from the YAML
     #                                     `transforms:` section; applied on
     #                                     device inside the jitted step
+    dynamics_lr_mult: float = 1.0       # LR multiplier for the dynamics subtree
+    #                                     (banks + alpha/regime nets). The KF
+    #                                     ELBO's dynamics gradient is much
+    #                                     smaller than the VAE's reconstruction
+    #                                     gradient; >1 speeds up dynamics
+    #                                     convergence (multi-seed study,
+    #                                     PARITY.md)
     kf_weight_ramp: bool = False        # ramp kf_weight 0 -> 1 linearly over the
     #                                     warmup phase instead of the reference's
     #                                     step jump at warmup start — protects the

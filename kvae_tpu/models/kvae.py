@@ -182,17 +182,44 @@ class KVAE(nn.Module):
             else:
                 # Masked frames couple the LSTM to the filter's own masked
                 # prediction feedback (reference kalman_filter.py:159,183-185)
-                # — the recursions are inseparable; step inside the scan.
-                carry0 = self.dynamics.init_carry(b)
-                q_fixed = params.Q
-
-                def step(carry, y_prev):
-                    return self.dynamics.step(carry, y_prev, q_fixed)
-
-                sr = lgssm_smooth(
-                    a, u, mask, params,
-                    step_dynamics=step, step_dynamics_carry=carry0,
+                # — the recursions are inseparable. On the Pallas engines the
+                # WHOLE coupled step (LSTM cell + alpha head + bank mixing +
+                # masked Kalman update + feedback) is fused into one VMEM
+                # kernel (ops/pallas_kf_lstm.py); otherwise step inside the
+                # scan.
+                impl = self.config.filter_impl.lower()
+                if impl == "auto":
+                    impl = (
+                        "pallas_adjoint"
+                        if jax.default_backend() == "tpu" else "scan"
+                    )
+                fusible = (
+                    impl in ("pallas", "pallas_adjoint")
+                    and self.dynamics.K > 1
+                    and b <= 1024
                 )
+                if fusible:
+                    from kvae_tpu.ops.pallas_kf_lstm import (
+                        lgssm_smooth_lstm_pallas,
+                    )
+
+                    sr = lgssm_smooth_lstm_pallas(
+                        a, u, mask, params,
+                        self.dynamics.A, self.dynamics.B, self.dynamics.C,
+                        self.dynamics.lstm, self.dynamics.head_w,
+                        self.dynamics.head_b,
+                    )
+                else:
+                    carry0 = self.dynamics.init_carry(b)
+                    q_fixed = params.Q
+
+                    def step(carry, y_prev):
+                        return self.dynamics.step(carry, y_prev, q_fixed)
+
+                    sr = lgssm_smooth(
+                        a, u, mask, params,
+                        step_dynamics=step, step_dynamics_carry=carry0,
+                    )
                 state_probs = sr.filter_result.aux  # alpha weights [B,T,K]
 
         x_logits = self.decode_sequence(a)

@@ -139,6 +139,12 @@ def make_raw_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
         grads = phases_lib.apply_mask(grads, mask)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         updates = jax.tree.map(lambda u: -lr * u, updates)
+        if tcfg.dynamics_lr_mult != 1.0:
+            def dyn_scale(path, u):
+                top = getattr(path[0], "key", getattr(path[0], "name", ""))
+                return u * tcfg.dynamics_lr_mult if top == "dynamics" else u
+
+            updates = jax.tree_util.tree_map_with_path(dyn_scale, updates)
         updates = phases_lib.apply_mask(updates, mask)
         params = optax.apply_updates(state.params, updates)
 

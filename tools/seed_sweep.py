@@ -77,6 +77,7 @@ def main():
     ap.add_argument("--epochs", type=int, default=None)
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--kf-ramp", action="store_true")
+    ap.add_argument("--dyn-lr-mult", type=float, default=None)
     ap.add_argument("--warmup-epochs", type=int, default=None)
     args = ap.parse_args()
 
@@ -92,7 +93,7 @@ def main():
     out_root.mkdir(parents=True, exist_ok=True)
     summary = {"tag": args.tag, "config": args.config, "overrides": {
         "lr": args.lr, "kf_ramp": args.kf_ramp, "epochs": args.epochs,
-        "warmup_epochs": args.warmup_epochs,
+        "warmup_epochs": args.warmup_epochs, "dyn_lr_mult": args.dyn_lr_mult,
     }, "runs": {}}
 
     for seed in args.seeds:
@@ -106,6 +107,8 @@ def main():
             tcfg.lr = args.lr
         if args.kf_ramp:
             tcfg.kf_weight_ramp = True
+        if args.dyn_lr_mult is not None:
+            tcfg.dynamics_lr_mult = args.dyn_lr_mult
         if args.warmup_epochs is not None:
             tcfg.warmup_epochs = args.warmup_epochs
 
