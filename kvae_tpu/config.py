@@ -79,6 +79,15 @@ class KVAEConfig:
     # --- TPU-native knobs (no reference equivalent) ---
     filter_impl: str = "scan"        # "scan" | "assoc" | "pallas"
     compute_dtype: str = "float32"   # conv/MLP compute dtype ("bfloat16" for perf)
+    kf_elbo_samples: int = 1         # reparameterized z draws averaged in the
+    #                                  KF ELBO (reference uses 1); >1 cuts the
+    #                                  KF gradient variance at ~zero cost (the
+    #                                  draws share the filter/smoother pass)
+    alpha_bias_init: float = -10.0   # alpha-head bias on modes 1..K-1 at init
+    #                                  (reference dyn_param.py:31-33 uses -10,
+    #                                  which starves modes 1..K-1 of gradient
+    #                                  while the alpha net is frozen in warmup;
+    #                                  softer values let every bank train)
 
     def __post_init__(self):
         if self.u_dim is None:

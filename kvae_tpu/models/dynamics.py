@@ -68,11 +68,15 @@ def _bank_init_normal(std: float):
     return init
 
 
-def _alpha_head_bias(K: int):
-    # bias -10 except mode 0 -> alpha starts at mode 0 (reference dyn_param.py:31-33)
+def _alpha_head_bias(K: int, off_bias: float = -10.0):
+    """Head-bias init: `off_bias` on modes 1..K-1, 0 on mode 0, so alpha
+    starts near mode 0 (reference dyn_param.py:31-33 uses -10, an almost
+    hard lock: during the warmup phase the alpha net is frozen, so only
+    mode 0's bank receives gradient. A softer value (e.g. -2) lets every
+    bank train from the start while still breaking symmetry.)"""
     def init(key, shape, dtype=jnp.float32):
         del key
-        return jnp.full(shape, -10.0, dtype).at[0].set(0.0)
+        return jnp.full(shape, off_bias, dtype).at[0].set(0.0)
     return init
 
 
@@ -85,6 +89,7 @@ class LSTMAlphaDynamics(nn.Module):
     p: int
     hidden: int = 50
     init_std: float = 0.05
+    alpha_bias_init: float = -10.0
 
     def setup(self):
         self.A = self.param("A", _bank_init_A(self.K, self.n), (self.K, self.n, self.n))
@@ -95,7 +100,10 @@ class LSTMAlphaDynamics(nn.Module):
             self.head_w = self.param(
                 "head_w", nn.initializers.lecun_normal(), (self.hidden, self.K)
             )
-            self.head_b = self.param("head_b", _alpha_head_bias(self.K), (self.K,))
+            self.head_b = self.param(
+                "head_b", _alpha_head_bias(self.K, self.alpha_bias_init),
+                (self.K,),
+            )
 
     def init_carry(self, batch: int):
         if self.K == 1:

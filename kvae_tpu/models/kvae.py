@@ -64,6 +64,7 @@ class KVAE(nn.Module):
             self.dynamics = LSTMAlphaDynamics(
                 K=cfg.num_modes, n=cfg.z_dim, m=cfg.u_dim, p=cfg.a_dim,
                 hidden=cfg.dynamics_hidden_dim, init_std=cfg.init_kf_matrices,
+                alpha_bias_init=cfg.alpha_bias_init,
             )
         else:
             raise ValueError(f"Unknown dynamics model: {cfg.dynamics_model}")
@@ -276,12 +277,25 @@ class KVAE(nn.Module):
             mu_smooth=outputs["mus_smooth"], sigma_smooth=outputs["Sigmas_smooth"],
             filter_result=fr,
         )
-        elbo_kf = lgssm_elbo(
-            self.make_rng("sample"), sr,
-            outputs["a_samples"], outputs["u"], self.lgssm_params, mask=mask,
-            log_q_extra=outputs["log_q_regime"],
-            log_p_extra=outputs["log_p_regime"],
-        )
+        def one_elbo(key):
+            return lgssm_elbo(
+                key, sr,
+                outputs["a_samples"], outputs["u"], self.lgssm_params,
+                mask=mask,
+                log_q_extra=outputs["log_q_regime"],
+                log_p_extra=outputs["log_p_regime"],
+            )
+
+        n_samples = int(getattr(cfg, "kf_elbo_samples", 1) or 1)
+        if n_samples <= 1:
+            elbo_kf = one_elbo(self.make_rng("sample"))
+        else:
+            # Multi-sample KF ELBO: the reference rsamples z once
+            # (kalman_filter.py:348-351); averaging S reparameterized draws
+            # cuts the gradient variance of the KF term (vmapped — the draws
+            # share every filter/smoother intermediate).
+            keys = jax.random.split(self.make_rng("sample"), n_samples)
+            elbo_kf = jnp.mean(jax.vmap(one_elbo)(keys))
 
         elbo_total = vae_weight * vae_elbo + kf_weight * elbo_kf
         active_units, variances = count_active_units(outputs["a_mu"])

@@ -36,6 +36,7 @@ class Checkpointer:
         self.dir.mkdir(parents=True, exist_ok=True)
         self.ckpt_every = ckpt_every
         self.best_val = float("inf")
+        self.best_impute = float("inf")
         self._ckptr = ocp.StandardCheckpointer()
 
     def save_checkpoints(self, train_loss: float, val_loss: float, state: TrainState, epoch: int):
@@ -45,6 +46,16 @@ class Checkpointer:
             self._save(self.dir / "kvae-best", state)
         if self.ckpt_every > 0 and epoch % self.ckpt_every == 0:
             self._save(self.dir / f"kvae-ckpt-epoch_{epoch:03d}", state)
+
+    def save_impute_best(self, impute_mse: float, state: TrainState, epoch: int):
+        """Best-on-val-IMPUTATION checkpoint (`kvae-best-impute`): model
+        selection on the task metric instead of the ELBO — the ELBO can
+        prefer dynamics-dead basins whose imputation is mediocre (the
+        multi-seed study in PARITY.md). Only written when the trainer
+        computes the periodic imputation eval (add_imputation_plots)."""
+        if impute_mse < self.best_impute:
+            self.best_impute = impute_mse
+            self._save(self.dir / "kvae-best-impute", state)
 
     def save_latest(self, state: TrainState, wait: bool = False):
         """Preemption-safe rolling checkpoint. `wait=True` blocks until the

@@ -283,6 +283,7 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
                 t_init_mask=cfg.t_init_mask, t_steps_mask=cfg.t_steps_mask,
             )
             if imp is not None:
+                ckpt.save_impute_best(float(imp["mse_smooth"]), state, epoch)
                 writer.log_scalars(
                     {k: v for k, v in imp.items() if k != "sample"},
                     "val_imputation", epoch,

@@ -202,6 +202,15 @@ def test_checkpoint_roundtrip(tmp_path):
     best = ck.restore("kvae-best", state)
     assert int(best.step) == int(state.step) + 5
 
+    # task-metric selection: kvae-best-impute tracks val-imputation MSE
+    ck.save_impute_best(0.03, state, epoch=1)
+    ck.save_impute_best(0.05, state2, epoch=2)  # worse: keeps epoch-1 state
+    bi = ck.restore("kvae-best-impute", state)
+    assert int(bi.step) == int(state.step)
+    ck.save_impute_best(0.01, state2, epoch=3)  # better: overwrites
+    bi = ck.restore("kvae-best-impute", state)
+    assert int(bi.step) == int(state.step) + 5
+
 
 @pytest.mark.slow
 def test_mini_training_converges(tmp_path):

@@ -22,7 +22,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 
 def evaluate_run(config, runs_dir: Path) -> dict:
-    """Best-val-checkpoint metrics: full-obs ELBO + planning-mask imputation
+    """Best-checkpoint metrics (both selection rules: best-val-ELBO and, if
+    present, best-val-imputation): full-obs ELBO + planning-mask imputation
     + one-step prediction vs persistence."""
     import jax
 
@@ -38,33 +39,48 @@ def evaluate_run(config, runs_dir: Path) -> dict:
     cfg, tcfg, dcfg = config["kvae"], config["training"], config["dataset"]
     _, val_loader = build_dataloaders(dcfg, tcfg.batch_size, seed=tcfg.seed)
     sample = next(iter(val_loader))["images"]
-    model, state, _ = create_train_state(cfg, tcfg, sample)
+    model, template, _ = create_train_state(cfg, tcfg, sample)
     ckpt = Checkpointer(runs_dir / "checkpoints", 0)
-    state = ckpt.restore("kvae-best", state)
-
-    key = jax.random.PRNGKey(0)
-    out = {"best_epoch": int(state.epoch)}
 
     eval_step = make_eval_step(model, cfg, tcfg)
-    key, k = jax.random.split(key)
-    metrics, _ = eval_step(state, sample, k)
-    out["val_loss"] = float(metrics["loss"])
-    out["elbo_kf"] = float(metrics["elbo_kf"])
-
     impute_step = make_impute_step(model, cfg)
-    key, k = jax.random.split(key)
-    imp = impute_epoch(impute_step, state, val_loader, k,
-                       t_init_mask=cfg.t_init_mask, t_steps_mask=cfg.t_steps_mask)
-    out["mse_smooth"] = float(imp["mse_smooth"])
-    out["mse_filt"] = float(imp["mse_filt"])
-    out["mse_recon"] = float(imp["mse_recon"])
-    out["baseline"] = float(imp["baseline"])
-
     pred_step = make_prediction_test_step(model)
-    key, k = jax.random.split(key)
-    kf_mse, naive_mse = kalman_prediction_test(pred_step, state, val_loader, k)
-    out["pred_mse_kf"] = float(kf_mse)
-    out["pred_mse_naive"] = float(naive_mse)
+
+    def eval_ckpt(name):
+        if not (runs_dir / "checkpoints" / name).exists():
+            return None
+        state = ckpt.restore(name, template)
+        key = jax.random.PRNGKey(0)
+        out = {"epoch": int(state.epoch)}
+        key, k = jax.random.split(key)
+        metrics, _ = eval_step(state, sample, k)
+        out["val_loss"] = float(metrics["loss"])
+        out["elbo_kf"] = float(metrics["elbo_kf"])
+        key, k = jax.random.split(key)
+        imp = impute_epoch(
+            impute_step, state, val_loader, k,
+            t_init_mask=cfg.t_init_mask, t_steps_mask=cfg.t_steps_mask,
+        )
+        out["mse_smooth"] = float(imp["mse_smooth"])
+        out["mse_filt"] = float(imp["mse_filt"])
+        out["mse_recon"] = float(imp["mse_recon"])
+        out["baseline"] = float(imp["baseline"])
+        key, k = jax.random.split(key)
+        kf_mse, naive_mse = kalman_prediction_test(pred_step, state, val_loader, k)
+        out["pred_mse_kf"] = float(kf_mse)
+        out["pred_mse_naive"] = float(naive_mse)
+        return out
+
+    best_val = eval_ckpt("kvae-best")
+    best_imp = eval_ckpt("kvae-best-impute")
+    out = dict(best_val)
+    out["best_epoch"] = out.pop("epoch")
+    if best_imp is not None:
+        out["impute_selected"] = best_imp
+        # headline number: the task-metric selection rule when available
+        out["mse_smooth_sel"] = best_imp["mse_smooth"]
+    else:
+        out["mse_smooth_sel"] = out["mse_smooth"]
     return out
 
 
@@ -78,6 +94,8 @@ def main():
     ap.add_argument("--lr", type=float, default=None)
     ap.add_argument("--kf-ramp", action="store_true")
     ap.add_argument("--dyn-lr-mult", type=float, default=None)
+    ap.add_argument("--elbo-samples", type=int, default=None)
+    ap.add_argument("--alpha-bias", type=float, default=None)
     ap.add_argument("--warmup-epochs", type=int, default=None)
     args = ap.parse_args()
 
@@ -100,7 +118,9 @@ def main():
         config = load_config(args.config)
         tcfg = config["training"]
         tcfg.seed = seed
-        tcfg.add_imputation_plots = False  # eval once on the best ckpt instead
+        # keep the periodic imputation eval: it drives the kvae-best-impute
+        # (task-metric) model selection that evaluate_run also reports
+        tcfg.add_imputation_plots = True
         if args.epochs is not None:
             tcfg.max_epochs = args.epochs
         if args.lr is not None:
@@ -109,6 +129,10 @@ def main():
             tcfg.kf_weight_ramp = True
         if args.dyn_lr_mult is not None:
             tcfg.dynamics_lr_mult = args.dyn_lr_mult
+        if args.elbo_samples is not None:
+            config["kvae"].kf_elbo_samples = args.elbo_samples
+        if args.alpha_bias is not None:
+            config["kvae"].alpha_bias_init = args.alpha_bias
         if args.warmup_epochs is not None:
             tcfg.warmup_epochs = args.warmup_epochs
 
@@ -121,13 +145,14 @@ def main():
         ev["final_train_steps_per_sec"] = round(result["steps_per_sec"], 1)
         summary["runs"][seed] = ev
         print(f"[{args.tag}] seed {seed}: mse_smooth {ev['mse_smooth']:.4e} "
+              f"(sel {ev['mse_smooth_sel']:.4e}) "
               f"mse_filt {ev['mse_filt']:.4e} elbo_kf {ev['elbo_kf']:+.3f} "
               f"pred {ev['pred_mse_kf']:.3e} vs naive {ev['pred_mse_naive']:.3e} "
               f"({train_s:.0f}s)", flush=True)
         with open(out_root / "summary.json", "w") as f:
             json.dump(summary, f, indent=2)
 
-    vals = sorted(r["mse_smooth"] for r in summary["runs"].values())
+    vals = sorted(r["mse_smooth_sel"] for r in summary["runs"].values())
     med = vals[len(vals) // 2] if len(vals) % 2 else 0.5 * (
         vals[len(vals) // 2 - 1] + vals[len(vals) // 2])
     summary["median_mse_smooth"] = med
