@@ -347,39 +347,60 @@ def test_preemption_sigterm_resume_bit_exact(tmp_path):
         "dataset": {"type": "bouncing_ball", "val_split": 0.25,
                     "kwargs": {"num_sequences": 48, "seq_len": 6,
                                "img_size": 32, "seed": 0}},
+        # num_devices 1: single-device placement -> device-resident loaders
+        # -> the fused-epoch runner in BOTH the subprocess and the in-process
+        # runs (fast enough to hit the SIGTERM window, and the mode the
+        # flagship trainer actually uses)
         "training": {"max_epochs": 5, "batch_size": 12, "lr": 3e-3,
                      "pretrain_vae_epochs": 1, "warmup_epochs": 1,
-                     "ckpt_every": 0, "logdir": str(tmp_path), "seed": 3},
+                     "ckpt_every": 0, "logdir": str(tmp_path), "seed": 3,
+                     "num_devices": 1},
         "kvae": {"dynamics_model": "switching", "num_modes": 2},
     }
 
-    # --- run A: uninterrupted, in-process ---
-    dir_a = tmp_path / "run_a"
-    train(parse_config_dict(raw), runs_dir=dir_a)
+    # Every training arm runs in a FRESH subprocess with an identical
+    # environment — numerics on the CPU backend depend on process-level
+    # config (matmul precision, thread pool), so comparing a pytest-process
+    # run against a subprocess run measures environment skew, not resume
+    # correctness.
+    script = (
+        "import json, sys\n"
+        "from kvae_tpu.config import parse_config_dict\n"
+        "from kvae_tpu.train.loop import train\n"
+        "raw = json.loads(sys.argv[1])\n"
+        "cfg = parse_config_dict(raw)\n"
+        "if len(sys.argv) > 3:\n"
+        "    cfg['training'].resume_from = sys.argv[3]\n"
+        "train(cfg, runs_dir=sys.argv[2])\n"
+    )
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+
+    def launch(run_dir, resume_from=None):
+        argv = [sys.executable, "-c", script, json.dumps(raw), str(run_dir)]
+        if resume_from:
+            argv.append(str(resume_from))
+        return subprocess.Popen(
+            argv, env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+
     cfg = parse_config_dict(raw)
     _, val_loader = build_dataloaders(
         cfg["dataset"], cfg["training"].batch_size, seed=cfg["training"].seed
     )
     sample = next(iter(val_loader))["images"]
     _, template, _ = create_train_state(cfg["kvae"], cfg["training"], sample)
+
+    # --- run A: uninterrupted subprocess ---
+    dir_a = tmp_path / "run_a"
+    assert launch(dir_a).wait(timeout=900) == 0
     final_a = restore_train_state(dir_a / "checkpoints" / "kvae-latest", template)
     assert int(final_a.epoch) == 6  # advanced past max_epochs
 
     # --- run B: subprocess, SIGTERM after two epochs have logged ---
     dir_b = tmp_path / "run_b"
-    script = (
-        "import json, sys\n"
-        "from kvae_tpu.config import parse_config_dict\n"
-        "from kvae_tpu.train.loop import train\n"
-        "raw = json.loads(sys.argv[1])\n"
-        "train(parse_config_dict(raw), runs_dir=sys.argv[2])\n"
-    )
-    env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
-    proc = subprocess.Popen(
-        [sys.executable, "-c", script, json.dumps(raw), str(dir_b)],
-        env=env, stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-    )
+    proc = launch(dir_b)
     metrics_file = dir_b / "metrics.jsonl"
 
     def train_epochs_logged():
@@ -407,10 +428,10 @@ def test_preemption_sigterm_resume_bit_exact(tmp_path):
     if stopped_at == 6:
         final_b = latest  # signal landed during the last epoch; nothing to resume
     else:
-        raw_resume = json.loads(json.dumps(raw))
-        cfg2 = parse_config_dict(raw_resume)
-        cfg2["training"].resume_from = str(dir_b / "checkpoints" / "kvae-latest")
-        train(cfg2, runs_dir=tmp_path / "run_b_resumed")
+        assert launch(
+            tmp_path / "run_b_resumed",
+            resume_from=dir_b / "checkpoints" / "kvae-latest",
+        ).wait(timeout=900) == 0
         final_b = restore_train_state(
             tmp_path / "run_b_resumed" / "checkpoints" / "kvae-latest", template
         )
