@@ -77,7 +77,9 @@ class KVAEConfig:
     t_steps_mask: int = 12
 
     # --- TPU-native knobs (no reference equivalent) ---
-    filter_impl: str = "scan"        # "scan" | "assoc" | "pallas"
+    filter_impl: str = "scan"        # "scan" | "assoc" | "pallas" |
+    #                                  "pallas_adjoint" | "seqpar" | "auto"
+    #                                  (validated in __post_init__)
     compute_dtype: str = "float32"   # conv/MLP compute dtype ("bfloat16" for perf)
     kf_elbo_samples: int = 1         # reparameterized z draws averaged in the
     #                                  KF ELBO (reference uses 1); >1 cuts the
@@ -89,6 +91,8 @@ class KVAEConfig:
     #                                  while the alpha net is frozen in warmup;
     #                                  softer values let every bank train)
 
+    _FILTER_IMPLS = ("scan", "assoc", "pallas", "pallas_adjoint", "seqpar", "auto")
+
     def __post_init__(self):
         if self.u_dim is None:
             self.u_dim = self.z_dim
@@ -96,6 +100,13 @@ class KVAEConfig:
             self.encoder_channels = [32, 32, 32]
         if self.decoder_channels is None:
             self.decoder_channels = [32, 32, 32]
+        if self.filter_impl.lower() not in self._FILTER_IMPLS:
+            # A typo like "palas" would otherwise silently fall back to the
+            # scan engine in KVAE._smooth_seq and lose the kernel path.
+            raise ValueError(
+                f"filter_impl={self.filter_impl!r} is not one of "
+                f"{self._FILTER_IMPLS}"
+            )
 
 
 @dataclass
@@ -159,6 +170,11 @@ class DatasetConfig:
     type: str = "bouncing_ball"  # "bouncing_ball" | "pymunk" (npz) | "toy"
     path: Optional[str] = None   # npz path for type="pymunk"
     val_split: float = 0.2
+    split_file: Optional[str] = None  # npz with explicit train_idx/val_idx
+    #                                   arrays (tools/make_split.py) — overrides
+    #                                   val_split; lets two frameworks train on
+    #                                   IDENTICAL split membership (the parity
+    #                                   A/B protocol, PARITY.md)
     # generator / loader kwargs (seq_len, normalize, num_sequences, num_balls, ...)
     kwargs: Dict[str, Any] = field(default_factory=dict)
 

@@ -42,17 +42,29 @@ class DataLoader:
         self.indices = np.asarray(indices)
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
-        self.rng = np.random.default_rng(seed)
+        self.seed = int(seed)
         self.sharding = sharding
         self.prefetch = prefetch
+        self._epoch = 1
 
     def __len__(self) -> int:
         return len(self.indices) // self.batch_size
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch whose shuffle the next `__iter__` draws. The trainer
+        calls this every epoch so shuffles are a pure function of
+        (seed, epoch) — a resumed run sees the identical stream the
+        uninterrupted run saw (bit-exact resume in stepwise mode too)."""
+        self._epoch = int(epoch)
+
+    def epoch_order(self, epoch: int) -> np.ndarray:
+        if not self.shuffle:
+            return self.indices
+        return np.random.default_rng((self.seed, epoch)).permutation(self.indices)
+
     def _batches(self) -> Iterator[Dict[str, np.ndarray]]:
-        order = self.indices
-        if self.shuffle:
-            order = self.rng.permutation(order)
+        order = self.epoch_order(self._epoch)
+        self._epoch += 1  # deterministic fallback when set_epoch isn't used
         n_batches = len(order) // self.batch_size
         for i in range(n_batches):
             idx = order[i * self.batch_size : (i + 1) * self.batch_size]
@@ -94,7 +106,7 @@ class DeviceDataLoader:
         self.batch_size = int(batch_size)
         self.shuffle = shuffle
         self.seed = int(seed)
-        self.rng = np.random.default_rng(seed)
+        self._epoch = 1
         data = dataset.materialize(np.asarray(indices))
         self.images = jax.device_put(data["images"])
         self.state = jax.device_put(data["state"]) if "state" in data else None
@@ -116,8 +128,15 @@ class DeviceDataLoader:
             order = np.random.default_rng((self.seed, epoch)).permutation(self.n)
         return order[: len(self) * self.batch_size].astype(np.int32)
 
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the epoch whose shuffle the next `__iter__` draws (see
+        DataLoader.set_epoch) — stepwise-mode iteration then matches the
+        fused epoch runner's `epoch_order(epoch)` stream exactly."""
+        self._epoch = int(epoch)
+
     def __iter__(self) -> Iterator[Dict[str, jax.Array]]:
-        order = self.rng.permutation(self.n) if self.shuffle else np.arange(self.n)
+        order = self.epoch_order(self._epoch)
+        self._epoch += 1  # deterministic fallback when set_epoch isn't used
         order_dev = jax.device_put(order)  # one tiny upload per epoch
         for i in range(len(self)):
             idx = jax.lax.dynamic_slice_in_dim(
@@ -203,7 +222,17 @@ def build_dataloaders(
     placement + dataset small enough -> DeviceDataLoader (no per-step
     host->device transfer); otherwise the streaming DataLoader."""
     dataset = build_dataset(cfg)
-    train_idx, val_idx = split_indices(len(dataset), cfg.val_split, seed)
+    if cfg.split_file:
+        with np.load(cfg.split_file) as z:
+            train_idx = z["train_idx"].astype(np.int64)
+            val_idx = z["val_idx"].astype(np.int64)
+        if train_idx.max(initial=-1) >= len(dataset) or val_idx.max(initial=-1) >= len(dataset):
+            raise ValueError(
+                f"split_file {cfg.split_file} indexes beyond the dataset "
+                f"({len(dataset)} sequences)"
+            )
+    else:
+        train_idx, val_idx = split_indices(len(dataset), cfg.val_split, seed)
 
     if device_resident is None:
         single = sharding is None or len(sharding.device_set) == 1

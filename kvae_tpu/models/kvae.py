@@ -194,11 +194,12 @@ class KVAE(nn.Module):
                         "pallas_adjoint"
                         if jax.default_backend() == "tpu" else "scan"
                     )
-                fusible = (
-                    impl in ("pallas", "pallas_adjoint")
-                    and self.dynamics.K > 1
-                    and b <= 1024
-                )
+                if impl in ("pallas", "pallas_adjoint") and self.dynamics.K > 1:
+                    from kvae_tpu.ops.pallas_kf_lstm import MAX_BATCH
+
+                    fusible = b <= MAX_BATCH
+                else:
+                    fusible = False
                 if fusible:
                     from kvae_tpu.ops.pallas_kf_lstm import (
                         lgssm_smooth_lstm_pallas,

@@ -65,6 +65,11 @@ from kvae_tpu.ops.pallas_kf import (
     _to_tiles,
 )
 
+# Largest batch the single-tile fused kernel accepts — the public constant the
+# model's fusible-path gate checks against (KVAE.__call__), so the gate and
+# the ValueError below can never diverge.
+MAX_BATCH = _TILE_B
+
 
 # ---------------------------------------------------------------------------
 # the fused chunk body

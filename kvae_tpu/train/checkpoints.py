@@ -81,16 +81,43 @@ class Checkpointer:
         """Restore by checkpoint name ('kvae-best', 'kvae-latest', ...) using
         `target`'s structure/shardings as the abstract template."""
         self._ckptr.wait_until_finished()  # don't read a half-written save
-        path = self.dir / name
-        abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
-        return self._ckptr.restore(path, abstract)
+        return restore_train_state(self.dir / name, target)
+
+    def seed_from_state(self, state: TrainState):
+        """Initialize the best-so-far trackers from a restored TrainState so
+        a resumed (e.g. post-preemption) run can never overwrite kvae-best /
+        kvae-best-impute with a checkpoint worse than the pre-restart best."""
+        self.best_val = float(state.best_val)
+        self.best_impute = float(state.best_impute)
 
 
 def restore_train_state(checkpoint_path: str | Path, target: TrainState) -> TrainState:
-    """Restore a TrainState from an explicit orbax checkpoint directory."""
+    """Restore a TrainState from an explicit orbax checkpoint directory.
+
+    Tolerates checkpoints written before a scalar bookkeeping field existed
+    (e.g. pre-round-4 checkpoints without `best_impute`): missing fields keep
+    the target's initial value."""
     ckptr = ocp.StandardCheckpointer()
+    path = Path(checkpoint_path).resolve()
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
-    return ckptr.restore(Path(checkpoint_path).resolve(), abstract)
+    try:
+        return ckptr.restore(path, abstract)
+    except Exception:
+        raw = ckptr.restore(path)  # raw tree, no template
+        fields = {}
+        for name in type(target).__dataclass_fields__:
+            if name in raw:
+                fields[name] = jax.tree.map(
+                    lambda t, r: jax.numpy.asarray(r, t.dtype),
+                    getattr(target, name), raw[name],
+                )
+            else:
+                logger.warning(
+                    f"checkpoint {path} has no '{name}' field (older format); "
+                    "keeping the fresh-state value"
+                )
+                fields[name] = getattr(target, name)
+        return type(target)(**fields)
 
 
 def warm_start_vae(checkpoint_path: str | Path, state: TrainState) -> TrainState:

@@ -127,6 +127,7 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
     model, state, tx = create_train_state(cfg, tcfg, sample_batch, seq_mesh=seq_mesh)
     if tcfg.resume_from:
         state = ckpt_lib.restore_train_state(tcfg.resume_from, state)
+        ckpt.seed_from_state(state)  # best-so-far survives the restart
         logger.info(f"resumed from {tcfg.resume_from} at epoch {int(state.epoch)}")
     elif tcfg.init_vae_from:
         state = ckpt_lib.warm_start_vae(tcfg.init_vae_from, state)
@@ -217,6 +218,7 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
         else:
             acc = MeanAccumulator()
             n_steps = 0
+            train_loader.set_epoch(epoch)  # shuffle = f(seed, epoch): resume-pure
             for batch in train_loader:
                 if tcfg.profile_steps > 0 and not profiled and n_steps == 1:
                     jax.profiler.start_trace(str(runs_dir / "profile"))
@@ -238,23 +240,26 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
 
         # ---- eval epoch (fully observed) ----
         # RNG note: all eval keys derive statelessly from (eval_key root,
-        # epoch) — a resumed run reproduces the uninterrupted run's eval
-        # stream exactly. Fused mode then folds in the batch index; stepwise
-        # splits per batch. The two modes draw different (equidistributed)
-        # samples, so eval metrics are not bit-comparable across modes.
+        # epoch, batch index) — a resumed run reproduces the uninterrupted
+        # run's eval stream exactly, and fused and stepwise modes derive the
+        # per-batch key IDENTICALLY (fold_in(epoch_key, i), split into
+        # sample/gumbel), so eval metrics are bit-comparable across the two
+        # dispatch modes (gated by tests/test_train.py).
         epoch_eval_key = jax.random.fold_in(eval_key, epoch)
         if fused_epochs:
-            k = jax.random.fold_in(epoch_eval_key, 0)
             order = jnp.asarray(val_loader.epoch_order(epoch))
-            metrics_dev, viz = eval_epoch_run(state, val_loader.images, order, k)
+            metrics_dev, viz = eval_epoch_run(
+                state, val_loader.images, order, epoch_eval_key
+            )
             val_metrics = fetch_scalars(metrics_dev)
             last_batch = {"images": viz["x"]}
         else:
             acc = MeanAccumulator()
             viz = None
             last_batch = None
+            val_loader.set_epoch(epoch)
             for i, batch in enumerate(val_loader):
-                k = jax.random.fold_in(epoch_eval_key, 1 + i)
+                k = jax.random.fold_in(epoch_eval_key, i)
                 metrics, viz = eval_step(state, batch["images"], k)
                 acc.update(metrics)
                 last_batch = batch
@@ -283,7 +288,11 @@ def train(config: dict, runs_dir: Path | None = None) -> dict:
                 t_init_mask=cfg.t_init_mask, t_steps_mask=cfg.t_steps_mask,
             )
             if imp is not None:
-                ckpt.save_impute_best(float(imp["mse_smooth"]), state, epoch)
+                mse_s = float(imp["mse_smooth"])
+                state = state.replace(
+                    best_impute=jnp.minimum(state.best_impute, mse_s)
+                )
+                ckpt.save_impute_best(mse_s, state, epoch)
                 writer.log_scalars(
                     {k: v for k, v in imp.items() if k != "sample"},
                     "val_imputation", epoch,

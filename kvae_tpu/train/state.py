@@ -34,6 +34,10 @@ class TrainState(struct.PyTreeNode):
     epoch: jax.Array          # int32, 1-indexed (current epoch)
     step: jax.Array           # int32, global step counter
     best_val: jax.Array       # float32 best validation loss so far
+    best_impute: jax.Array    # float32 best val imputation MSE so far (inf
+    #                           until the periodic imputation eval first runs);
+    #                           persisted so a resumed run never overwrites
+    #                           kvae-best-impute with a worse checkpoint
 
     def advance_epoch(self) -> "TrainState":
         return self.replace(epoch=self.epoch + 1)
@@ -86,6 +90,7 @@ def create_train_state(
         epoch=jnp.asarray(1, jnp.int32),
         step=jnp.asarray(0, jnp.int32),
         best_val=jnp.asarray(jnp.inf, jnp.float32),
+        best_impute=jnp.asarray(jnp.inf, jnp.float32),
     )
     return model, state, tx
 

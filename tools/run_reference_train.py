@@ -32,6 +32,10 @@ def main():
     ap.add_argument("--dynamics", type=str, default="lstm")
     ap.add_argument("--logdir", type=str, default="/tmp/ref_runs")
     ap.add_argument("--num-workers", type=int, default=0)
+    ap.add_argument("--split-file", type=str, default=None,
+                    help="npz with train_idx/val_idx (tools/make_split.py): "
+                         "pins split membership to match the kvae_tpu arm "
+                         "exactly instead of torch random_split")
     args = ap.parse_args()
 
     config = {
@@ -123,6 +127,26 @@ def main():
     import torch
 
     torch.set_num_threads(1)  # stay off the TPU dispatch path (1-core host)
+
+    if args.split_file:
+        # Pin split membership: replace random_split (as imported into the
+        # reference's kvae/train/utils.py) with the explicit index lists, so
+        # both frameworks see IDENTICAL train/val sets.
+        import numpy as np
+        from torch.utils.data import Subset
+
+        with np.load(args.split_file) as z:
+            train_idx = z["train_idx"].astype(int).tolist()
+            val_idx = z["val_idx"].astype(int).tolist()
+
+        def pinned_split(dataset, lengths, *a, **k):
+            assert len(dataset) >= len(train_idx) + len(val_idx)
+            print(f"split pinned from {args.split_file}: "
+                  f"{len(train_idx)} train / {len(val_idx)} val", flush=True)
+            return Subset(dataset, train_idx), Subset(dataset, val_idx)
+
+        ref_utils = importlib.import_module("kvae.train.utils")
+        ref_utils.random_split = pinned_split
 
     sys.argv = ["train.py", "--config", str(cfg_file)]
     train_mod = importlib.import_module("kvae.train.train")

@@ -53,7 +53,15 @@ def evaluate_run(config, runs_dir: Path) -> dict:
         key = jax.random.PRNGKey(0)
         out = {"epoch": int(state.epoch)}
         key, k = jax.random.split(key)
-        metrics, _ = eval_step(state, sample, k)
+        # Average over the FULL val split (as train/loop.py does) — a single
+        # batch's val_loss/elbo_kf is too noisy for a per-seed table.
+        from kvae_tpu.train.metrics import MeanAccumulator
+
+        acc = MeanAccumulator()
+        for i, batch in enumerate(val_loader):
+            metrics, _ = eval_step(state, batch["images"], jax.random.fold_in(k, i))
+            acc.update(metrics)
+        metrics = acc.result()
         out["val_loss"] = float(metrics["loss"])
         out["elbo_kf"] = float(metrics["elbo_kf"])
         key, k = jax.random.split(key)
