@@ -373,29 +373,196 @@ class KVAE(nn.Module):
         u_gen: Optional[jax.Array] = None,  # [B,gen_steps,u_dim]
         tau: jax.Array | float = 1.0,
         deterministic: bool = True,
+        closed_loop: bool = False,
     ) -> Dict[str, jax.Array]:
         """Warm up the filter posterior on observed frames, then free-run the
         LDS for `gen_steps`, decoding a_t = C z_t to frames.
 
-        The rolled dynamics hold the last warmup step's (A,B,C,Q) — without
-        new observations the alpha/regime networks have no input to update on.
+        closed_loop=False (legacy): the rolled dynamics hold the last warmup
+        step's (A,B,C,Q) frozen for the whole free run — a ball generated this
+        way can never switch dynamics modes again (never bounce).
+
+        closed_loop=True: the dynamics networks keep evolving exactly as the
+        model class defines them without observations —
+          * LSTM mode: the alpha-LSTM advances on its own prediction feedback
+            a_t = C_t z_t, the same semantics the masked filter applies on
+            unobserved frames (ops/lgssm.py:192-205, mirroring reference
+            kvae/kalman/kalman_filter.py:183-185). With deterministic=True
+            the rollout is bit-identical to running the masked filter with
+            mask=0 over the generated span (gated by tests/test_models.py).
+          * Switching mode: the regime chain is SAMPLED from the sticky
+            generative prior p(s_t|s_{t-1}) (reference
+            kvae/kalman/switch_dyn_param.py:98-110) — always sampled, even
+            when deterministic=True, because the prior's argmax is the
+            diagonal (p_stay > 1/K) and would freeze the regime forever.
+            `deterministic` gates only the process noise on z.
+
+        Returns {"z_gen", "a_gen", "x_gen", "state_probs_gen"} (the last is
+        alpha weights / sampled regime one-hots over the generated span).
         """
         cfg = self.config
         b = x_warmup.shape[0]
+        if u_gen is None:
+            u_gen = jnp.zeros((b, gen_steps, cfg.u_dim), dtype=jnp.float32)
+
+        if closed_loop:
+            a_warm, _, _ = self.encode_sequence(x_warmup)
+            if cfg.dynamics_model.lower() == "lstm":
+                z_seq, a_seq, probs, _ = self._closed_loop_roll_lstm(
+                    a_warm, u_gen, self.make_rng("sample"), deterministic
+                )
+            else:
+                z_seq, a_seq, probs = self._closed_loop_roll_switching(
+                    a_warm, u_gen, tau, deterministic
+                )
+            x_gen = self._maybe_sigmoid(self.decode_sequence(a_seq))
+            return {
+                "z_gen": z_seq, "a_gen": a_seq, "x_gen": x_gen,
+                "state_probs_gen": probs,
+            }
+
         outputs = self(x_warmup, mask=None, tau=tau, train=False)
         mu_last = outputs["mus_filt"][:, -1]
         sigma_last = outputs["Sigmas_filt"][:, -1]
         tile = lambda m: jnp.repeat(m[:, -1:], gen_steps, axis=1)
         A, Bm, C, Q = (tile(outputs[k]) for k in ("A", "B", "C", "Q"))
-        if u_gen is None:
-            u_gen = jnp.zeros((b, gen_steps, cfg.u_dim), dtype=x_warmup.dtype)
         z_seq, a_seq = lgssm_generate(
             self.make_rng("sample"), mu_last, sigma_last,
             A, Bm, C, Q, u_gen,
             R=self.lgssm_params.R, deterministic=deterministic,
         )
         x_gen = self._maybe_sigmoid(self.decode_sequence(a_seq))
-        return {"z_gen": z_seq, "a_gen": a_seq, "x_gen": x_gen}
+        probs = jnp.repeat(outputs["state_probs"][:, -1:], gen_steps, axis=1)
+        return {
+            "z_gen": z_seq, "a_gen": a_seq, "x_gen": x_gen,
+            "state_probs_gen": probs,
+        }
+
+    def _closed_loop_roll_lstm(
+        self,
+        a_warm: jax.Array,     # [B,Tw,p] warmup latents (encoder samples)
+        u_gen: jax.Array,      # [B,S,m]
+        key: jax.Array,
+        deterministic: bool,
+    ):
+        """Coupled masked filter over the warmup (all observed, returning the
+        exact filter carry), then a free-run scan in which the alpha-LSTM
+        consumes its own emission feedback. With deterministic=True the
+        recursion is identical to the masked filter's mask=0 path: the filter
+        there sets mu_filt = mu_pred (gain zeroed) and feeds y_hat = C mu_pred
+        to the LSTM — exactly this rollout with z = mu_pred."""
+        cfg = self.config
+        b, tw, _ = a_warm.shape
+        s = u_gen.shape[1]
+        params = self.lgssm_params
+        q_fixed = params.Q
+        u_warm = jnp.zeros((b, tw, cfg.u_dim), jnp.float32)
+
+        def stepfn(carry, y_prev):
+            return self.dynamics.step(carry, y_prev, q_fixed)
+
+        from kvae_tpu.ops.lgssm import lgssm_filter
+
+        fr, (mu, sigma, dyn_carry, y_fb) = lgssm_filter(
+            a_warm, u_warm, None, params,
+            step_dynamics=stepfn,
+            step_dynamics_carry=self.dynamics.init_carry(b),
+            return_carry=True,
+        )
+
+        from kvae_tpu.ops.gaussian import mvn_sample_chol, safe_cholesky
+
+        key_z0, key_roll = jax.random.split(key)
+        if deterministic:
+            z0 = mu
+        else:
+            z0 = mvn_sample_chol(key_z0, mu, safe_cholesky(sigma))
+        L_Q = jnp.linalg.cholesky(q_fixed)
+        keys = jax.random.split(key_roll, s)
+        u_t = jnp.swapaxes(u_gen, 0, 1)
+
+        def roll(carry, xs):
+            z, dc, fb = carry
+            u_s, k = xs
+            dc, (A, B, C, _, alpha) = self.dynamics.step(dc, fb, q_fixed)
+            z_next = einsum("bij,bj->bi", A, z) + einsum("bij,bj->bi", B, u_s)
+            if not deterministic:
+                eps = jax.random.normal(k, z.shape, z.dtype)
+                z_next = z_next + einsum("ij,bj->bi", L_Q, eps)
+            a_t = einsum("bpn,bn->bp", C, z_next)
+            return (z_next, dc, a_t), (z_next, a_t, alpha)
+
+        _, (z_seq, a_seq, alpha_seq) = jax.lax.scan(
+            roll, (z0, dyn_carry, y_fb), (u_t, keys)
+        )
+        swap = lambda x: jnp.swapaxes(x, 0, 1)
+        return swap(z_seq), swap(a_seq), swap(alpha_seq), fr
+
+    def _closed_loop_roll_switching(
+        self,
+        a_warm: jax.Array,     # [B,Tw,p]
+        u_gen: jax.Array,      # [B,S,m]
+        tau: jax.Array | float,
+        deterministic: bool,
+    ):
+        """Regime-posterior warmup, then free-run with the regime chain
+        sampled from the sticky generative prior p(s_t|s_{t-1})."""
+        from kvae_tpu.models.dynamics import sticky_transition_matrix
+        from kvae_tpu.ops.gaussian import mvn_sample_chol, safe_cholesky
+        from kvae_tpu.ops.lgssm import lgssm_filter
+
+        cfg = self.config
+        b, tw, _ = a_warm.shape
+        s = u_gen.shape[1]
+        K = cfg.num_modes
+        params = self.lgssm_params
+        rng = self.make_rng("gumbel") if K > 1 else None
+        dyn_seq, _, _, y_seq = self.dynamics(
+            a_warm, tau=jnp.asarray(tau, jnp.float32), hard=True, rng=rng
+        )
+        u_warm = jnp.zeros((b, tw, cfg.u_dim), jnp.float32)
+        fr = lgssm_filter(a_warm, u_warm, None, params, dynamics=dyn_seq)
+        mu_last, sigma_last = fr.mu_filt[:, -1], fr.sigma_filt[:, -1]
+
+        key = self.make_rng("sample")
+        key_z0, key_roll = jax.random.split(key)
+        if deterministic:
+            z0 = mu_last
+        else:
+            z0 = mvn_sample_chol(key_z0, mu_last, safe_cholesky(sigma_last))
+        trans = sticky_transition_matrix(K, cfg.sticky_p_stay)
+        C0 = self.dynamics.C[0]
+        keys = jax.random.split(key_roll, s)
+        u_t = jnp.swapaxes(u_gen, 0, 1)
+        y_prev0 = y_seq[:, -1]  # hard one-hot (eval-mode gumbel)
+
+        def roll(carry, xs):
+            z, y_prev = carry
+            u_s, k = xs
+            k_s, k_z = jax.random.split(k)
+            # s_t ~ p(s_t | s_{t-1}): one categorical draw from the sticky row
+            probs = einsum("bk,kj->bj", y_prev, trans)
+            s_idx = jax.random.categorical(
+                k_s, jnp.log(jnp.clip(probs, min=1e-8))
+            )
+            y_t = jax.nn.one_hot(s_idx, K, dtype=y_prev.dtype)
+            A = einsum("bk,kij->bij", y_t, self.dynamics.A)
+            Bm = einsum("bk,knm->bnm", y_t, self.dynamics.B)
+            z_next = einsum("bij,bj->bi", A, z) + einsum("bij,bj->bi", Bm, u_s)
+            if not deterministic:
+                Q = einsum("bk,kij->bij", y_t, self.dynamics.Q)
+                eps = jax.random.normal(k_z, z.shape, z.dtype)
+                z_next = z_next + einsum(
+                    "bij,bj->bi", safe_cholesky(Q), eps
+                )
+            a_t = einsum("pn,bn->bp", C0, z_next)
+            return (z_next, y_t), (z_next, a_t, y_t)
+
+        _, (z_seq, a_seq, y_gen) = jax.lax.scan(
+            roll, (z0, y_prev0), (u_t, keys)
+        )
+        swap = lambda x: jnp.swapaxes(x, 0, 1)
+        return swap(z_seq), swap(a_seq), swap(y_gen)
 
     # ------------------------------------------------------------------
     # streaming (online, per-frame) inference

@@ -133,6 +133,7 @@ def lgssm_filter(
     dynamics: SequenceDynamics | None = None,
     step_dynamics: StepDynamicsFn | None = None,
     step_dynamics_carry=None,
+    return_carry: bool = False,
 ) -> FilterResult:
     """Masked Kalman filter over [B,T] sequences, as one `lax.scan`.
 
@@ -140,6 +141,10 @@ def lgssm_filter(
     (per-step callback, for the LSTM-alpha network whose input is the filter's
     own masked prediction feedback — the two recursions are inseparable,
     reference kalman_filter.py:159,183-185) must be provided.
+
+    `return_carry=True` (step-dynamics path only) additionally returns the
+    final scan carry `(mu, sigma, dyn_carry, y_for_dyn_next)` — the state a
+    closed-loop rollout continues from (KVAE.generate(closed_loop=True)).
     """
     batch, T, p = y.shape
     n = params.mu0.shape[0]
@@ -158,6 +163,10 @@ def lgssm_filter(
     m_t = jnp.swapaxes(mask, 0, 1)     # [T,B]
 
     if dynamics is not None:
+        if return_carry:
+            raise ValueError(
+                "return_carry is only meaningful on the step_dynamics path"
+            )
         A_t = jnp.swapaxes(dynamics.A, 0, 1)
         B_t = jnp.swapaxes(dynamics.B, 0, 1)
         C_t = jnp.swapaxes(dynamics.C, 0, 1)
@@ -205,15 +214,18 @@ def lgssm_filter(
         )
 
     init = (mu0, sigma0, step_dynamics_carry, y_for_dyn0)
-    _, outs = jax.lax.scan(body, init, (y_t, u_t, m_t))
+    final_carry, outs = jax.lax.scan(body, init, (y_t, u_t, m_t))
     mu_f, sig_f, mu_p, sig_p, A_s, B_s, C_s, Q_s, aux = outs
     swap = lambda a: jnp.swapaxes(a, 0, 1)
-    return FilterResult(
+    fr = FilterResult(
         mu_filt=swap(mu_f), sigma_filt=swap(sig_f),
         mu_pred=swap(mu_p), sigma_pred=swap(sig_p),
         A=swap(A_s), B=swap(B_s), C=swap(C_s), Q=swap(Q_s),
         aux=jax.tree.map(swap, aux),
     )
+    if return_carry:
+        return fr, final_carry
+    return fr
 
 
 # ---------------------------------------------------------------------------

@@ -310,6 +310,98 @@ def test_kvae_generate(rng):
     assert np.all(np.isfinite(np.asarray(out["x_gen"])))
 
 
+def test_closed_loop_lstm_equals_masked_filter(rng):
+    """closed_loop=True (LSTM, deterministic) must be bit-equivalent to the
+    masked filter run over [warmup | generated] with mask = [1...1 | 0...0]:
+    the filter's mask=0 path advances mu_filt = mu_pred and feeds
+    y_hat = C mu_pred to the alpha-LSTM (reference kalman_filter.py:183-185)
+    — exactly the closed-loop recursion."""
+    from kvae_tpu.ops.lgssm import lgssm_filter
+
+    cfg = _cfg(dynamics_model="lstm")
+    x = _x(rng)
+    model, variables = _init_kvae(cfg, x)
+    tw, s = 3, T - 3
+    a_full = jnp.asarray(rng.normal(size=(B, T, cfg.a_dim)).astype(np.float32))
+
+    def roll_probe(m):
+        u_gen = jnp.zeros((B, s, cfg.u_dim), jnp.float32)
+        return m._closed_loop_roll_lstm(
+            a_full[:, :tw], u_gen, jax.random.PRNGKey(7), True
+        )
+
+    z_seq, a_seq, alpha_seq, _ = model.apply(variables, method=roll_probe)
+
+    def filter_probe(m):
+        params = m.lgssm_params
+        mask = jnp.ones((B, T)).at[:, tw:].set(0.0)
+        u = jnp.zeros((B, T, cfg.u_dim), jnp.float32)
+
+        def stepfn(carry, y_prev):
+            return m.dynamics.step(carry, y_prev, params.Q)
+
+        return lgssm_filter(
+            a_full, u, mask, params,
+            step_dynamics=stepfn, step_dynamics_carry=m.dynamics.init_carry(B),
+        )
+
+    fr = model.apply(variables, method=filter_probe)
+    # masked span: mu_filt == mu_pred (gain zeroed) == the rollout's z
+    np.testing.assert_allclose(
+        np.asarray(z_seq), np.asarray(fr.mu_filt[:, tw:]), rtol=1e-6, atol=1e-6
+    )
+    a_filt = np.einsum(
+        "btpn,btn->btp", np.asarray(fr.C[:, tw:]), np.asarray(fr.mu_filt[:, tw:])
+    )
+    np.testing.assert_allclose(np.asarray(a_seq), a_filt, rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(alpha_seq), np.asarray(fr.aux[:, tw:]), rtol=1e-6, atol=1e-6
+    )
+
+
+def test_closed_loop_switching_samples_regimes(rng):
+    """Closed-loop SKVAE rollout: regimes are one-hot draws from the sticky
+    prior chain — long rollouts must actually SWITCH regime (the frozen-
+    dynamics legacy path cannot), and outputs stay finite."""
+    cfg = _cfg(dynamics_model="switching", sticky_p_stay=0.5)
+    x = _x(rng)
+    model, variables = _init_kvae(cfg, x)
+    rngs = {"sample": jax.random.PRNGKey(3), "gumbel": jax.random.PRNGKey(4)}
+    S = 40
+    out = model.apply(
+        variables, x[:, :4], S, rngs=rngs, method=KVAE.generate,
+        closed_loop=True, deterministic=True,
+    )
+    assert out["x_gen"].shape == (B, S, 1, 32, 32)
+    assert np.all(np.isfinite(np.asarray(out["x_gen"])))
+    probs = np.asarray(out["state_probs_gen"])  # [B,S,K] one-hot draws
+    assert probs.shape == (B, S, cfg.num_modes)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-6)
+    assert np.all(probs.max(-1) == 1.0), "regime draws must be hard one-hot"
+    # with p_stay=0.5 over 40 steps the no-switch probability is ~2^-39
+    switches = (probs[:, 1:].argmax(-1) != probs[:, :-1].argmax(-1)).sum()
+    assert switches > 0, "regime chain never switched in 40 sticky-prior draws"
+
+
+def test_closed_loop_lstm_generate_api(rng):
+    """Public API path: closed_loop LSTM generation (stochastic) produces
+    finite frames and per-step alpha weights that EVOLVE (not frozen)."""
+    cfg = _cfg(dynamics_model="lstm")
+    x = _x(rng)
+    model, variables = _init_kvae(cfg, x)
+    rngs = {"sample": jax.random.PRNGKey(3), "gumbel": jax.random.PRNGKey(4)}
+    out = model.apply(
+        variables, x[:, :4], 8, rngs=rngs, method=KVAE.generate,
+        closed_loop=True, deterministic=False,
+    )
+    assert out["x_gen"].shape == (B, 8, 1, 32, 32)
+    assert np.all(np.isfinite(np.asarray(out["x_gen"])))
+    alpha = np.asarray(out["state_probs_gen"])
+    assert alpha.shape == (B, 8, cfg.num_modes)
+    # alpha trajectories respond to the evolving feedback: not constant
+    assert np.abs(np.diff(alpha, axis=1)).max() > 0.0
+
+
 def test_kvae_whole_forward_jits(rng):
     """The full forward+loss must compile to ONE XLA program."""
     cfg = _cfg(dynamics_model="switching")
