@@ -157,6 +157,18 @@ class TrainingConfig:
     #                                     pretrained VAE latents from the sudden
     #                                     KF-ELBO gradient (seed-robustness fix,
     #                                     PARITY.md multi-seed study)
+    restart_seeds: int = 0              # parallel-restart triage protocol: train
+    #                                     N short runs at seeds seed..seed+N-1,
+    #                                     continue only the best by the val-
+    #                                     imputation probe (the task metric) to
+    #                                     max_epochs. Beats the KVAE seed
+    #                                     lottery at the PROTOCOL level — the
+    #                                     per-seed outcome variance is the
+    #                                     method's, demonstrated in the
+    #                                     reference itself (PARITY.md multi-seed
+    #                                     + identical-data studies). 0/1 = off.
+    restart_epochs: int = 30            # triage length per candidate seed
+    restart_topk: int = 1               # candidates continued to max_epochs
     profile_steps: int = 0              # if >0, capture a jax.profiler trace of N steps
     fused_epochs: Any = "auto"          # "auto" | true | false — whole-epoch XLA
     #                                     fusion (needs device-resident data; auto =

@@ -37,6 +37,7 @@ class Checkpointer:
         self.ckpt_every = ckpt_every
         self.best_val = float("inf")
         self.best_impute = float("inf")
+        self.best_pred = float("inf")
         self._ckptr = ocp.StandardCheckpointer()
 
     def save_checkpoints(self, train_loss: float, val_loss: float, state: TrainState, epoch: int):
@@ -56,6 +57,20 @@ class Checkpointer:
         if impute_mse < self.best_impute:
             self.best_impute = impute_mse
             self._save(self.dir / "kvae-best-impute", state)
+
+    def save_pred_best(
+        self, impute_mse: float, pred_beats_naive: bool,
+        state: TrainState, epoch: int,
+    ):
+        """`kvae-best-pred`: best val-imputation checkpoint RESTRICTED to
+        epochs whose one-step latent prediction beats the persistence
+        baseline. Late KVAE training trades predictive dynamics for
+        imputation (both here and in the reference on identical data,
+        PARITY.md) — this rule ships a checkpoint where the dynamics still
+        predict, at a bounded imputation cost."""
+        if pred_beats_naive and impute_mse < self.best_pred:
+            self.best_pred = impute_mse
+            self._save(self.dir / "kvae-best-pred", state)
 
     def save_latest(self, state: TrainState, wait: bool = False):
         """Preemption-safe rolling checkpoint. `wait=True` blocks until the
@@ -89,6 +104,7 @@ class Checkpointer:
         kvae-best-impute with a checkpoint worse than the pre-restart best."""
         self.best_val = float(state.best_val)
         self.best_impute = float(state.best_impute)
+        self.best_pred = float(state.best_pred)
 
 
 def restore_train_state(checkpoint_path: str | Path, target: TrainState) -> TrainState:

@@ -38,6 +38,12 @@ class TrainState(struct.PyTreeNode):
     #                           until the periodic imputation eval first runs);
     #                           persisted so a resumed run never overwrites
     #                           kvae-best-impute with a worse checkpoint
+    best_pred: jax.Array      # float32 best val imputation MSE among epochs
+    #                           whose one-step prediction beats persistence
+    #                           (the kvae-best-pred selection rule — a
+    #                           checkpoint with FUNCTIONING predictive
+    #                           dynamics; late KVAE training trades prediction
+    #                           for imputation, see PARITY.md)
 
     def advance_epoch(self) -> "TrainState":
         return self.replace(epoch=self.epoch + 1)
@@ -91,6 +97,7 @@ def create_train_state(
         step=jnp.asarray(0, jnp.int32),
         best_val=jnp.asarray(jnp.inf, jnp.float32),
         best_impute=jnp.asarray(jnp.inf, jnp.float32),
+        best_pred=jnp.asarray(jnp.inf, jnp.float32),
     )
     return model, state, tx
 

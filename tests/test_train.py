@@ -244,6 +244,50 @@ def test_mini_training_converges(tmp_path):
     assert losses[2] < losses[1] * 0.7, losses
 
 
+def test_restart_triage_protocol(tmp_path):
+    """restart_seeds=N: N triage runs, winner selected on the val-imputation
+    probe, continued via bit-exact resume to max_epochs; restart_summary.json
+    records the selection; the final checkpoints land in the parent dir."""
+    import json
+
+    from kvae_tpu.config import parse_config_dict
+    from kvae_tpu.train.loop import train
+
+    raw = {
+        "dataset": {"type": "bouncing_ball", "val_split": 0.25,
+                    "kwargs": {"num_sequences": 48, "seq_len": 6,
+                               "img_size": 32, "seed": 0}},
+        "training": {"max_epochs": 7, "batch_size": 12, "lr": 3e-3,
+                     "pretrain_vae_epochs": 1, "warmup_epochs": 1,
+                     "ckpt_every": 0, "logdir": str(tmp_path), "seed": 1,
+                     "restart_seeds": 2, "restart_epochs": 5,
+                     "add_imputation_plots": True},
+        "kvae": {"dynamics_model": "switching", "num_modes": 2,
+                 "t_init_mask": 2, "t_steps_mask": 3},
+    }
+    out_dir = tmp_path / "proto"
+    result = train(parse_config_dict(raw), runs_dir=out_dir)
+
+    summary = json.loads((out_dir / "restart_summary.json").read_text())
+    assert set(summary["triage"].keys()) == {"1", "2"}
+    assert summary["winner_seed"] in (1, 2)
+    # the winner's triage probe is the min of the candidates'
+    probes = {int(s): v["best_impute"] for s, v in summary["triage"].items()}
+    assert min(probes, key=probes.get) in summary["finalists"]
+    # continuation ran to max_epochs in the PARENT dir (topk=1)
+    assert result["runs_dir"] == str(out_dir)
+    assert (out_dir / "checkpoints" / "kvae-best-impute").exists()
+    epochs = []
+    with open(out_dir / "metrics.jsonl") as f:
+        for line in f:
+            rec = json.loads(line)
+            if rec.get("split") == "train" and "loss" in rec:
+                epochs.append(rec["epoch"])
+    assert epochs and epochs[0] == 6 and epochs[-1] == 7, epochs
+    # protocol output beats (or equals) every candidate's triage probe
+    assert result["best_impute"] <= min(probes.values()) + 1e-9
+
+
 @pytest.mark.slow
 def test_vae_pretrain_then_kvae_warm_start(tmp_path):
     """The reference two-config flow (pretrain VAE -> load_vae_weights ->

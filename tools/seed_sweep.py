@@ -81,6 +81,7 @@ def evaluate_run(config, runs_dir: Path) -> dict:
 
     best_val = eval_ckpt("kvae-best")
     best_imp = eval_ckpt("kvae-best-impute")
+    best_pred = eval_ckpt("kvae-best-pred")
     out = dict(best_val)
     out["best_epoch"] = out.pop("epoch")
     if best_imp is not None:
@@ -89,6 +90,8 @@ def evaluate_run(config, runs_dir: Path) -> dict:
         out["mse_smooth_sel"] = best_imp["mse_smooth"]
     else:
         out["mse_smooth_sel"] = out["mse_smooth"]
+    if best_pred is not None:
+        out["pred_selected"] = best_pred
     return out
 
 
