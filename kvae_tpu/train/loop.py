@@ -134,6 +134,10 @@ def train_with_restarts(config: dict, runs_dir: Path | None = None) -> dict:
     n, triage_epochs = tcfg.restart_seeds, tcfg.restart_epochs
     topk = max(1, tcfg.restart_topk)
     base_seed = tcfg.seed
+    proto_raw = dict(config.get("raw", {}) or {})
+    proto_raw.setdefault("training", {})["seed"] = base_seed
+    with open(runs_dir / "protocol_config.yaml", "w") as f:
+        yaml.safe_dump(proto_raw, f)
     logger.info(
         f"restart protocol: {n} candidates (seeds {base_seed}..{base_seed + n - 1}) "
         f"x {triage_epochs} triage epochs, top-{topk} continued to "
@@ -237,8 +241,21 @@ def _train_single(config: dict, runs_dir: Path | None = None) -> dict:
     runs_dir.mkdir(parents=True, exist_ok=True)
     logger = setup_logging(str(runs_dir / "train.log"))
     writer = MetricsWriter(runs_dir)
+    # Snapshot the config with the EFFECTIVE training seed (CLI --seed and
+    # restart-protocol continuations override the YAML value): this dir's
+    # artifacts must be reproducible from this dir's config alone. A
+    # protocol continuation therefore records the WINNER seed here
+    # (restart_seeds: 0 — re-running this file reproduces the winner's
+    # straight run); the protocol itself is in restart_summary.json and the
+    # parent's protocol_config.yaml.
+    import copy as _copy
+
+    raw_snapshot = _copy.deepcopy(config.get("raw", {})) or {}
+    raw_snapshot.setdefault("training", {})
+    raw_snapshot["training"]["seed"] = tcfg.seed
+    raw_snapshot["training"]["restart_seeds"] = 0
     with open(runs_dir / "config.yaml", "w") as f:
-        yaml.safe_dump(config.get("raw", {}), f)
+        yaml.safe_dump(raw_snapshot, f)
     ckpt = ckpt_lib.Checkpointer(runs_dir / "checkpoints", tcfg.ckpt_every)
 
     cfg, mesh, data_sharding, seq_mesh = select_mesh(cfg, tcfg, logger)

@@ -244,6 +244,53 @@ def test_mini_training_converges(tmp_path):
     assert losses[2] < losses[1] * 0.7, losses
 
 
+def test_restart_triage_selection_logic(tmp_path, monkeypatch):
+    """Protocol wiring without training: candidates get consecutive seeds and
+    triage epoch counts, ranking is by best_impute, the winner is continued
+    via resume_from its triage kvae-latest, and the summary records it all."""
+    import json
+
+    from kvae_tpu.config import parse_config_dict
+    from kvae_tpu.train import loop as loop_mod
+
+    probes = {3: 0.031, 4: 0.019, 5: 0.027}
+    calls = []
+
+    def fake_single(config, runs_dir=None):
+        tcfg = config["training"]
+        calls.append({"seed": tcfg.seed, "max_epochs": tcfg.max_epochs,
+                      "resume": tcfg.resume_from, "dir": str(runs_dir)})
+        best = probes[tcfg.seed] if tcfg.resume_from is None else (
+            probes[tcfg.seed] - 0.005)
+        return {"best_val": 10.0 + tcfg.seed, "best_impute": best,
+                "runs_dir": str(runs_dir), "steps_per_sec": 0.0}
+
+    monkeypatch.setattr(loop_mod, "_train_single", fake_single)
+    raw = {
+        "dataset": {"type": "toy"},
+        "training": {"seed": 3, "max_epochs": 40, "restart_seeds": 3,
+                     "restart_epochs": 7, "logdir": str(tmp_path)},
+        "kvae": {},
+    }
+    out_dir = tmp_path / "proto"
+    result = loop_mod.train(parse_config_dict(raw), runs_dir=out_dir)
+
+    triage, final = calls[:3], calls[3:]
+    assert [c["seed"] for c in triage] == [3, 4, 5]
+    assert all(c["max_epochs"] == 7 and c["resume"] is None for c in triage)
+    assert len(final) == 1 and final[0]["seed"] == 4  # best probe wins
+    assert final[0]["max_epochs"] == 40
+    assert final[0]["resume"].endswith("triage_seed4/checkpoints/kvae-latest")
+    assert final[0]["dir"] == str(out_dir)  # topk=1: continuation in parent
+    summary = json.loads((out_dir / "restart_summary.json").read_text())
+    assert summary["winner_seed"] == 4
+    assert summary["finalists"] == [4]
+    assert result["winner_seed"] == 4
+    assert result["best_impute"] == probes[4] - 0.005
+    assert (out_dir / "protocol_config.yaml").exists()
+
+
+@pytest.mark.slow
 def test_restart_triage_protocol(tmp_path):
     """restart_seeds=N: N triage runs, winner selected on the val-imputation
     probe, continued via bit-exact resume to max_epochs; restart_summary.json
@@ -255,15 +302,17 @@ def test_restart_triage_protocol(tmp_path):
 
     raw = {
         "dataset": {"type": "bouncing_ball", "val_split": 0.25,
-                    "kwargs": {"num_sequences": 48, "seq_len": 6,
-                               "img_size": 32, "seed": 0}},
-        "training": {"max_epochs": 7, "batch_size": 12, "lr": 3e-3,
+                    "kwargs": {"num_sequences": 36, "seq_len": 5,
+                               "img_size": 16, "seed": 0}},
+        # fused_epochs off: the stepwise programs are much cheaper to
+        # compile and the fused path has its own equivalence tests
+        "training": {"max_epochs": 6, "batch_size": 9, "lr": 3e-3,
                      "pretrain_vae_epochs": 1, "warmup_epochs": 1,
                      "ckpt_every": 0, "logdir": str(tmp_path), "seed": 1,
                      "restart_seeds": 2, "restart_epochs": 5,
-                     "add_imputation_plots": True},
+                     "fused_epochs": False, "add_imputation_plots": True},
         "kvae": {"dynamics_model": "switching", "num_modes": 2,
-                 "t_init_mask": 2, "t_steps_mask": 3},
+                 "img_size": 16, "t_init_mask": 2, "t_steps_mask": 2},
     }
     out_dir = tmp_path / "proto"
     result = train(parse_config_dict(raw), runs_dir=out_dir)
@@ -283,9 +332,18 @@ def test_restart_triage_protocol(tmp_path):
             rec = json.loads(line)
             if rec.get("split") == "train" and "loss" in rec:
                 epochs.append(rec["epoch"])
-    assert epochs and epochs[0] == 6 and epochs[-1] == 7, epochs
+    assert epochs and epochs[0] == 6 and epochs[-1] == 6, epochs
     # protocol output beats (or equals) every candidate's triage probe
     assert result["best_impute"] <= min(probes.values()) + 1e-9
+    # provenance: the final dir's config snapshot records the WINNER seed
+    # (reproducible as a straight run), the parent keeps the protocol config
+    import yaml
+
+    snap = yaml.safe_load((out_dir / "config.yaml").read_text())
+    assert snap["training"]["seed"] == summary["winner_seed"]
+    assert snap["training"]["restart_seeds"] == 0
+    proto = yaml.safe_load((out_dir / "protocol_config.yaml").read_text())
+    assert proto["training"]["seed"] == 1
 
 
 @pytest.mark.slow

@@ -17,7 +17,13 @@ full - (vae_grad + kf_grad) ~ optimizer/clip + slice interaction.
 Results print as one JSON line per slice, flushed immediately (a timeout
 can only truncate the tail). Used for the PARITY.md breakdown table.
 
-Run: python tools/profile_scaling.py [--chain 20] [--windows 3]
+Chain length caveat: each timing window pays ONE hard scalar-fetch RPC
+(~25-35 ms on the tunneled backend), amortized over the chain — at
+--chain 20 that is a ~1.3 ms/iteration floor that swamps sub-ms slices.
+The default 100 keeps the floor near 0.3 ms; read small slices as
+"value minus floor".
+
+Run: python tools/profile_scaling.py [--chain 100] [--windows 3]
 """
 import argparse
 import json
@@ -38,7 +44,7 @@ def log(msg):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--chain", type=int, default=20)
+    ap.add_argument("--chain", type=int, default=100)
     ap.add_argument("--windows", type=int, default=3)
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--T", type=int, default=100)
@@ -227,6 +233,18 @@ def main():
 
     timed_chain("smooth_fwd", smooth_body, params, a_num, dyn_num)
 
+    def smooth_grad_body(c, i, params, a, dyn):
+        def loss_fn(args):
+            a_in, dyn_in = args
+            def probe(m, a, dyn):
+                sr = m._smooth_seq(a, u, ones, m.lgssm_params, dyn)
+                return jnp.sum(sr.mu_smooth) + jnp.sum(sr.sigma_smooth)
+            return model.apply({"params": params}, a_in, dyn_in, method=probe)
+        g = jax.grad(loss_fn)((a + 0.0 * c, dyn))
+        return c + sum(jnp.sum(l) for l in jax.tree.leaves(g))
+
+    timed_chain("smooth_grad", smooth_grad_body, params, a_num, dyn_num)
+
     # ---- ELBO alone, fwd (numeric smoothed posteriors) ----
     sr_num = model.apply(
         {"params": params},
@@ -242,6 +260,20 @@ def main():
         return c + model.apply({"params": params}, a, sr, method=probe)
 
     timed_chain("elbo_fwd", elbo_body, params, a_num, sr_num)
+
+    def elbo_grad_body(c, i, params, a, sr):
+        def loss_fn(args):
+            a_in, sr_in = args
+            def probe(m, a, sr):
+                return lgssm_elbo(
+                    jax.random.fold_in(ks, i), sr, a, u, m.lgssm_params,
+                    mask=ones, log_q_extra=log_q_num, log_p_extra=log_p_num,
+                )
+            return model.apply({"params": params}, a_in, sr_in, method=probe)
+        g = jax.grad(loss_fn)((a + 0.0 * c, sr))
+        return c + sum(jnp.sum(l) for l in jax.tree.leaves(g))
+
+    timed_chain("elbo_grad", elbo_grad_body, params, a_num, sr_num)
     log("done")
 
 
