@@ -97,7 +97,11 @@ def main():
     )
     results["generation_finite"] = bool(np.all(np.isfinite(np.asarray(gen["x_gen"]))))
 
-    out_path = run_dir / "evaluation.json"
+    results["checkpoint"] = args.checkpoint
+    # default selection rule writes the canonical name; alternates keep
+    # their own file so evaluating several rules never clobbers
+    suffix = "" if args.checkpoint == "kvae-best" else f"_{args.checkpoint.removeprefix('kvae-')}"
+    out_path = run_dir / f"evaluation{suffix}.json"
     with open(out_path, "w") as f:
         json.dump(results, f, indent=2, default=float)
     print(json.dumps(results, indent=2, default=float))

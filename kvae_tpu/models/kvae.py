@@ -115,6 +115,16 @@ class KVAE(nn.Module):
         impl = self.config.filter_impl.lower()
         if impl == "auto":
             impl = "pallas_adjoint" if jax.default_backend() == "tpu" else "scan"
+            if impl == "pallas_adjoint":
+                from kvae_tpu.ops.pallas_kf import fits_vmem
+
+                cfg = self.config
+                if not fits_vmem(cfg.z_dim, cfg.u_dim, cfg.a_dim):
+                    # state too wide for the gridded kernels' scoped VMEM
+                    # (n=16 OOMs even at chunk length 1) — auto falls back
+                    # to the scan engine; an EXPLICIT pallas* request still
+                    # surfaces the compile error.
+                    impl = "scan"
         if impl == "assoc":
             from kvae_tpu.ops.assoc import lgssm_smooth_assoc
 

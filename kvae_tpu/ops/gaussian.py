@@ -109,16 +109,21 @@ def safe_cholesky(
     n = sigma.shape[-1]
     eye = jnp.eye(n, dtype=sigma.dtype)
     jitters = jitter_init * (10.0 ** jnp.arange(max_tries, dtype=sigma.dtype))
-    # [k, ..., n, n]
-    candidates = sigma[None] + jitters.reshape((max_tries,) + (1,) * sigma.ndim) * eye
+    # The jitter-level SELECTION runs on a stop_gradient copy: factoring all
+    # k levels in one batched op is fine forward, but its VJP would run the
+    # Cholesky backward k times (the unpicked candidates get zero cotangents
+    # yet still sit inside the batched op — XLA cannot DCE them). Pick
+    # without gradient, then refactor ONCE differentiably at the picked
+    # jitter: identical values AND identical gradients, 1/k of the backward.
+    sigma_ng = jax.lax.stop_gradient(sigma)
+    candidates = sigma_ng[None] + jitters.reshape((max_tries,) + (1,) * sigma.ndim) * eye
     factors = cholesky_small(candidates)
     ok = jnp.all(jnp.isfinite(factors), axis=(-1, -2))  # [k, ...]
     # index of first finite factor; max_tries if none
     first_ok = jnp.argmax(ok, axis=0)
     any_ok = jnp.any(ok, axis=0)
-    picked = jnp.take_along_axis(
-        factors, first_ok[None, ..., None, None], axis=0
-    )[0]
+    jitter_picked = jnp.take(jitters, first_ok)  # [...]
+    picked = cholesky_small(sigma + jitter_picked[..., None, None] * eye)
     # Fallback: clamped-diagonal sqrt (reference kalman_filter.py:298-302)
     diag = jnp.diagonal(sigma, axis1=-2, axis2=-1)
     fallback = jnp.zeros_like(sigma) + jnp.sqrt(jnp.clip(diag, min=diag_clamp))[..., None] * eye

@@ -246,6 +246,23 @@ def _from_tiles(x: jax.Array, b: int) -> jax.Array:
 _VMEM_BUDGET_BYTES = 9 * 1024 * 1024
 
 
+def fits_vmem(n: int, m: int, p: int) -> bool:
+    """Static check that the gridded LGSSM kernels fit the 16 MiB
+    scoped-VMEM stack even at chunk length 1. Each scalar matrix entry is a
+    full [8,128] batch tile, so the per-step footprint grows as n^2 tiles:
+    n=8 fits comfortably, n=12 fits (verified on a v5e), n=16 requests
+    ~17.6 MiB and Mosaic refuses. The model's `filter_impl: auto` consults
+    this and falls back to the scan engine for unfittable state widths
+    instead of failing at compile time."""
+    tiles_in = p + m + 1 + n * n + n * m + p * n + n * n
+    tiles_out = n + n * n + n + n * n
+    bytes_per_step = (tiles_in + tiles_out) * _SUBLANES * _LANES * 4
+    carry_bytes = (n + n * n) * _SUBLANES * _LANES * 4
+    # 2x: double-buffered time blocks; 3x carry: in + out + scratch;
+    # 4 MiB margin for the unrolled step body's live temporaries.
+    return 2 * bytes_per_step + 3 * carry_bytes + (4 << 20) <= (16 << 20)
+
+
 def _steps_in_budget(T: int, tiles_per_step: int) -> int:
     """Chunk length that keeps a gridded recursion within scoped VMEM.
 

@@ -39,18 +39,32 @@ def make_impute_step(model: KVAE, cfg: KVAEConfig):
         def mse_on_unobs(x_hat):
             return jnp.sum(((x - x_hat) ** 2) * unobs_px) / n_px
 
-        # baseline: max pairwise MSE between unobserved frames at fixed pairs
-        # (reference imputation.py:243-259)
+        # baseline: max pairwise MSE between unobserved frames at fixed
+        # offsets (reference imputation.py:243-259 uses absolute indices
+        # {0,3,6}x{9,12,15}, tuned for its T=20 / observe-first-4 mask —
+        # with a longer observed prefix, e.g. the T=100 config's
+        # t_init_mask=8, every such pair contains an observed frame and the
+        # baseline silently reads 0). Here the pair indices are anchored to
+        # the FIRST MASKED FRAME (same offsets), so the comparator follows
+        # the mask instead of assuming the reference's shape.
         T = x.shape[1]
+        unobs_any = (mask[0] < 0.5)
+        t0 = jnp.argmax(unobs_any)  # first masked frame (mask shared over B)
         baseline = jnp.asarray(0.0, x.dtype)
-        for i in (0, min(3, T - 1), min(6, T - 1)):
-            for j in (min(9, T - 1), min(12, T - 1), min(15, T - 1)):
-                pair = ((mask[:, i] < 0.5) & (mask[:, j] < 0.5)).astype(x.dtype)
+        for di in (0, 3, 6):
+            for dj in (9, 12, 15):
+                i = jnp.clip(t0 + di, 0, T - 1)
+                j = jnp.clip(t0 + dj, 0, T - 1)
+                m_i = jnp.take(mask, i, axis=1)
+                m_j = jnp.take(mask, j, axis=1)
+                pair = ((m_i < 0.5) & (m_j < 0.5)).astype(x.dtype)
                 w = pair[:, None, None, None]
                 n = jnp.clip(
                     jnp.sum(pair) * x.shape[2] * x.shape[3] * x.shape[4], min=1.0
                 )
-                dist = jnp.sum(((x[:, i] - x[:, j]) ** 2) * w) / n
+                x_i = jnp.take(x, i, axis=1)
+                x_j = jnp.take(x, j, axis=1)
+                dist = jnp.sum(((x_i - x_j) ** 2) * w) / n
                 baseline = jnp.maximum(baseline, jnp.where(jnp.sum(pair) > 0, dist, 0.0))
 
         metrics = {

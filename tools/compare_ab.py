@@ -24,7 +24,9 @@ def load_ref(run_dir: Path):
                 e = rec.get("step")
                 if e is None:
                     continue
-                row = by_epoch.setdefault(e, {})
+                # the reference logs epochs 0-indexed (step 0 = its
+                # "Epoch 001" log line); align to our 1-indexed epochs
+                row = by_epoch.setdefault(e + 1, {})
                 for k in ("val/loss", "val/elbo_kf", "val/elbo_vae_total"):
                     if k in rec:
                         row[k.split("/")[1]] = rec[k]
@@ -41,7 +43,9 @@ def load_ref(run_dir: Path):
                 cur_epoch = int(m.group(1))
             m = imp_re.search(line)
             if m and cur_epoch is not None:
-                row = by_epoch.setdefault(cur_epoch, {})
+                # the reference prints epoch N's imputation BEFORE its
+                # "Epoch N" summary header, so the last seen header is N-1
+                row = by_epoch.setdefault(cur_epoch + 1, {})
                 row["mse_smooth"] = float(m.group(1))
                 row["mse_filt"] = float(m.group(2))
     return by_epoch
