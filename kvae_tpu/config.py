@@ -169,6 +169,19 @@ class TrainingConfig:
     #                                     + identical-data studies). 0/1 = off.
     restart_epochs: int = 30            # triage length per candidate seed
     restart_topk: int = 1               # candidates continued to max_epochs
+    select_from_epoch: int = 0          # first epoch eligible for the
+    #                                     kvae-best-impute / kvae-best-pred
+    #                                     task-metric selection. 0 = auto: the
+    #                                     first "all"-phase epoch (pretrain +
+    #                                     warmup + 1). Pre-gate probes still
+    #                                     run and log, but cannot claim the
+    #                                     selected checkpoint: a pretrain-phase
+    #                                     model (dynamics untrained) can win
+    #                                     the smoothed-imputation probe purely
+    #                                     through the smoother's interpolation
+    #                                     prior — at T=100 it did (round-4
+    #                                     verdict), shipping a model whose
+    #                                     dynamics contribute nothing.
     profile_steps: int = 0              # if >0, capture a jax.profiler trace of N steps
     fused_epochs: Any = "auto"          # "auto" | true | false — whole-epoch XLA
     #                                     fusion (needs device-resident data; auto =

@@ -204,6 +204,16 @@ class KVAE(nn.Module):
                         "pallas_adjoint"
                         if jax.default_backend() == "tpu" else "scan"
                     )
+                    if impl == "pallas_adjoint":
+                        # Same scoped-VMEM envelope gate as _smooth_seq:
+                        # 'auto' must never resolve to a kernel that cannot
+                        # compile for this state width (z_dim >= 16 OOMs the
+                        # gridded kernels' scoped VMEM).
+                        from kvae_tpu.ops.pallas_kf import fits_vmem
+
+                        cfg_ = self.config
+                        if not fits_vmem(cfg_.z_dim, cfg_.u_dim, cfg_.a_dim):
+                            impl = "scan"
                 if impl in ("pallas", "pallas_adjoint") and self.dynamics.K > 1:
                     from kvae_tpu.ops.pallas_kf_lstm import MAX_BATCH
 

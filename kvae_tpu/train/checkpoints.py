@@ -112,21 +112,36 @@ def restore_train_state(checkpoint_path: str | Path, target: TrainState) -> Trai
 
     Tolerates checkpoints written before a scalar bookkeeping field existed
     (e.g. pre-round-4 checkpoints without `best_impute`): missing fields keep
-    the target's initial value."""
+    the target's initial value. A template-free restore is NOT structure-safe
+    for that case (orbax returns opt_state as raw lists/dicts that cannot be
+    tree-mapped onto optax's NamedTuple pytree), so the fallback instead
+    builds a structure-correct template holding only the top-level fields
+    that exist on disk — orbax keys dataclass fields and dict entries by the
+    same name — restores with it, and fills the rest from the fresh target.
+    Regression-gated by tests/test_train.py::test_restore_old_format_checkpoint.
+    """
     ckptr = ocp.StandardCheckpointer()
     path = Path(checkpoint_path).resolve()
     abstract = jax.tree.map(ocp.utils.to_shape_dtype_struct, target)
     try:
         return ckptr.restore(path, abstract)
     except Exception:
-        raw = ckptr.restore(path)  # raw tree, no template
+        field_names = list(type(target).__dataclass_fields__)
+        # Template-free read ONLY to discover the on-disk top-level key set
+        # (its leaf containers are structure-mangled; values are discarded).
+        raw = ckptr.restore(path)
+        partial_template = {
+            name: jax.tree.map(
+                ocp.utils.to_shape_dtype_struct, getattr(target, name)
+            )
+            for name in field_names
+            if name in raw
+        }
+        restored = ckptr.restore(path, partial_template)
         fields = {}
-        for name in type(target).__dataclass_fields__:
-            if name in raw:
-                fields[name] = jax.tree.map(
-                    lambda t, r: jax.numpy.asarray(r, t.dtype),
-                    getattr(target, name), raw[name],
-                )
+        for name in field_names:
+            if name in restored:
+                fields[name] = restored[name]
             else:
                 logger.warning(
                     f"checkpoint {path} has no '{name}' field (older format); "

@@ -89,6 +89,18 @@ def select_mesh(cfg, tcfg, logger=None):
     return cfg, mesh, batch_sharding(mesh), None
 
 
+def first_selection_epoch(tcfg) -> int:
+    """First epoch eligible for kvae-best-impute / kvae-best-pred selection:
+    `training.select_from_epoch` if set, else the first "all"-phase epoch.
+    Pre-gate imputation probes still run and log but cannot claim the
+    selected checkpoint (round-4 verdict #2: at T=100 a pretrain-phase probe
+    — dynamics untrained, KF ELBO ~ -900 — permanently won kvae-best-impute
+    through the smoother's interpolation prior alone)."""
+    return tcfg.select_from_epoch or (
+        tcfg.pretrain_vae_epochs + tcfg.warmup_epochs + 1
+    )
+
+
 def train(config: dict, runs_dir: Path | None = None) -> dict:
     """Run a training; returns {'best_val', 'best_impute', 'runs_dir', ...}.
 
@@ -143,6 +155,20 @@ def train_with_restarts(config: dict, runs_dir: Path | None = None) -> dict:
         f"x {triage_epochs} triage epochs, top-{topk} continued to "
         f"{tcfg.max_epochs} epochs"
     )
+    # Triage ranks on the val-imputation probe, which fires at epoch % 5 == 0
+    # AND (phase gate) epoch >= select_from_epoch. If no eligible probe fits
+    # inside the triage window every candidate's best_impute stays inf and
+    # the "ranking" is insertion order — a config error, not a preference.
+    sel_from = first_selection_epoch(tcfg)
+    first_probe = ((sel_from + 4) // 5) * 5
+    if triage_epochs < first_probe:
+        raise ValueError(
+            f"restart_epochs={triage_epochs} ends before the first "
+            f"selection-eligible imputation probe at epoch {first_probe} "
+            f"(probes fire every 5 epochs, selection starts at epoch "
+            f"{sel_from} = pretrain+warmup+1 unless training."
+            f"select_from_epoch overrides) — triage cannot rank candidates"
+        )
 
     def child_config(**overrides):
         child = dict(config)
@@ -167,6 +193,12 @@ def train_with_restarts(config: dict, runs_dir: Path | None = None) -> dict:
         )
 
     ranked = sorted(probes, key=lambda s: probes[s]["best_impute"])
+    if all(not np.isfinite(probes[s]["best_impute"]) for s in probes):
+        raise RuntimeError(
+            "restart triage: every candidate's val-imputation probe is inf "
+            f"({ {s: probes[s]['best_impute'] for s in probes} }) — either all "
+            "candidates diverged or no eligible probe ran; cannot rank"
+        )
     finalists = ranked[:topk]
     logger.info(f"triage ranking: {ranked}; continuing {finalists}")
 
@@ -325,6 +357,7 @@ def _train_single(config: dict, runs_dir: Path | None = None) -> dict:
 
     eval_key = jax.random.PRNGKey(tcfg.seed + 1)
     profiled = False
+    sel_from_epoch = first_selection_epoch(tcfg)
 
     # Preemption handling (SURVEY §5): SIGTERM sets a flag; the epoch loop
     # notices at its next boundary, writes `kvae-latest` synchronously, and
@@ -442,14 +475,24 @@ def _train_single(config: dict, runs_dir: Path | None = None) -> dict:
             if imp is not None:
                 mse_s = float(imp["mse_smooth"])
                 pred_ok = float(kf_mse) < float(naive_mse)
-                state = state.replace(
-                    best_impute=jnp.minimum(state.best_impute, mse_s),
-                    best_pred=jnp.minimum(
-                        state.best_pred, mse_s if pred_ok else jnp.inf
-                    ),
-                )
-                ckpt.save_impute_best(mse_s, state, epoch)
-                ckpt.save_pred_best(mse_s, pred_ok, state, epoch)
+                if epoch >= sel_from_epoch:
+                    state = state.replace(
+                        best_impute=jnp.minimum(state.best_impute, mse_s),
+                        best_pred=jnp.minimum(
+                            state.best_pred, mse_s if pred_ok else jnp.inf
+                        ),
+                    )
+                    ckpt.save_impute_best(mse_s, state, epoch)
+                    ckpt.save_pred_best(mse_s, pred_ok, state, epoch)
+                elif mse_s < float(state.best_impute):
+                    # Phase gate (round-4 verdict #2): a pretrain/warmup-phase
+                    # probe can beat every trained epoch purely through the
+                    # smoother's interpolation prior; selection ignores it.
+                    logger.warning(
+                        f"epoch {epoch} [{phase}] probe mse_smooth {mse_s:.4e} "
+                        f"would lead selection but is before select_from_epoch="
+                        f"{sel_from_epoch} — ignored for kvae-best-impute/pred"
+                    )
                 writer.log_scalars(
                     {k: v for k, v in imp.items() if k != "sample"},
                     "val_imputation", epoch,
@@ -460,13 +503,13 @@ def _train_single(config: dict, runs_dir: Path | None = None) -> dict:
                     ("x_filtered", "seq_impute_filt"), ("x_imputed", "seq_impute_smooth"),
                 ):
                     writer.log_image(
-                        np.asarray(sample[key_name][0]), f"val_inputation/{tag}", epoch
+                        np.asarray(sample[key_name][0]), f"val_imputation/{tag}", epoch
                     )
                     writer.log_video(
-                        np.asarray(sample[key_name][0]), f"val_inputation/{tag}.mp4", epoch
+                        np.asarray(sample[key_name][0]), f"val_imputation/{tag}.mp4", epoch
                     )
                 writer.log_state_probs(
-                    sample["state_probs"], "val_inputation/seq_impute_states", epoch
+                    sample["state_probs"], "val_imputation/seq_impute_states", epoch
                 )
                 impute_msg = (
                     f"imputation MSE smooth {imp['mse_smooth']:.6e} "

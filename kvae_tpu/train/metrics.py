@@ -3,7 +3,7 @@
 Parity with reference kvae/train/logging_utils.py (console+file logging,
 TensorBoard scalars/images/videos/figures with the same tag names:
 train/loss, train|val/elbo_kf, elbo_vae_total, active_units, learning_rate,
-train/tau, val_inputation/*), with a TPU-native difference: metrics are
+train/tau, val_imputation/*), with a TPU-native difference: metrics are
 accumulated ON DEVICE as lazy scalars and fetched once per epoch — no
 per-batch `.item()` host syncs (the reference syncs every batch,
 train.py:60-62).
