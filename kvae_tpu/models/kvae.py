@@ -156,6 +156,18 @@ class KVAE(nn.Module):
     # forward (reference model.py:134-186)
     # ------------------------------------------------------------------
 
+    def _scaled_lgssm_params(self, noise_scale) -> LGSSMParams:
+        """LGSSM params with R and the fixed Q widened by `noise_scale` — the
+        training-time noise-floor anneal (config.noise_anneal_init docstring).
+        A traced scalar: annealing never recompiles. scale=1.0 (every eval /
+        impute / generate / serve path) is exactly `lgssm_params`."""
+        params = self.lgssm_params
+        ns = jnp.asarray(noise_scale, jnp.float32)
+        return LGSSMParams(
+            mu0=params.mu0, sigma0=params.sigma0,
+            R=params.R * ns, Q=params.Q * ns,
+        )
+
     def __call__(
         self,
         x: jax.Array,                    # [B,T,C,H,W]
@@ -163,6 +175,7 @@ class KVAE(nn.Module):
         mask: Optional[jax.Array] = None,  # [B,T]
         tau: jax.Array | float = 1.0,
         train: bool = True,
+        noise_scale: jax.Array | float = 1.0,
     ) -> Dict[str, jax.Array]:
         cfg = self.config
         b, t = x.shape[:2]
@@ -173,7 +186,7 @@ class KVAE(nn.Module):
         if mask is None:
             mask = jnp.ones((b, t), dtype=x.dtype)
 
-        params = self.lgssm_params
+        params = self._scaled_lgssm_params(noise_scale)
         if cfg.dynamics_model.lower() == "switching":
             rng = self.make_rng("gumbel") if cfg.num_modes > 1 else None
             dyn_seq, log_q, log_p, state_probs = self.dynamics(
@@ -277,6 +290,7 @@ class KVAE(nn.Module):
         vae_weight: jax.Array | float = 1.0,
         beta: jax.Array | float = 1.0,
         mask: Optional[jax.Array] = None,
+        noise_scale: jax.Array | float = 1.0,
     ) -> Dict[str, jax.Array]:
         cfg = self.config
         from kvae_tpu.ops.lgssm import FilterResult, SmoothResult
@@ -298,10 +312,12 @@ class KVAE(nn.Module):
             mu_smooth=outputs["mus_smooth"], sigma_smooth=outputs["Sigmas_smooth"],
             filter_result=fr,
         )
+        elbo_params = self._scaled_lgssm_params(noise_scale)
+
         def one_elbo(key):
             return lgssm_elbo(
                 key, sr,
-                outputs["a_samples"], outputs["u"], self.lgssm_params,
+                outputs["a_samples"], outputs["u"], elbo_params,
                 mask=mask,
                 log_q_extra=outputs["log_q_regime"],
                 log_p_extra=outputs["log_p_regime"],
@@ -341,11 +357,14 @@ class KVAE(nn.Module):
         kf_weight: jax.Array | float = 1.0,
         vae_weight: jax.Array | float = 1.0,
         train: bool = True,
+        noise_scale: jax.Array | float = 1.0,
     ):
-        outputs = self(x, u=u, mask=mask, tau=tau, train=train)
+        outputs = self(
+            x, u=u, mask=mask, tau=tau, train=train, noise_scale=noise_scale
+        )
         losses = self.loss(
             x, outputs, kf_weight=kf_weight, vae_weight=vae_weight,
-            beta=beta, mask=mask,
+            beta=beta, mask=mask, noise_scale=noise_scale,
         )
         return losses, outputs
 

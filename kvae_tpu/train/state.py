@@ -110,6 +110,25 @@ def _schedules(cfg: KVAEConfig, tcfg: TrainingConfig, epoch: jax.Array):
     return beta, tau, lr
 
 
+def noise_scale_for_epoch(
+    cfg: KVAEConfig, tcfg: TrainingConfig, epoch: jax.Array
+) -> jax.Array:
+    """Noise-floor anneal multiplier (config.noise_anneal_init docstring):
+    held at `noise_anneal_init` through pretrain+warmup, then log-linear
+    decay to 1.0 over `noise_anneal_epochs` all-phase epochs. A traced
+    function of the epoch counter — annealing never recompiles."""
+    if cfg.noise_anneal_init == 1.0:
+        return jnp.asarray(1.0, jnp.float32)
+    hold = tcfg.pretrain_vae_epochs + tcfg.warmup_epochs
+    frac = (jnp.asarray(epoch, jnp.float32) - hold) / max(
+        cfg.noise_anneal_epochs, 1
+    )
+    frac = jnp.clip(frac, 0.0, 1.0)
+    return jnp.power(
+        jnp.asarray(cfg.noise_anneal_init, jnp.float32), 1.0 - frac
+    )
+
+
 def make_raw_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
     """The un-jitted train-step function (phase static). Jitted directly by
     `make_train_step`, or scanned over a whole epoch by `make_epoch_runner`."""
@@ -118,6 +137,7 @@ def make_raw_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
         state: TrainState, x: jax.Array, phase: str
     ) -> Tuple[TrainState, Dict[str, jax.Array]]:
         beta, tau, lr = _schedules(cfg, tcfg, state.epoch)
+        noise_scale = noise_scale_for_epoch(cfg, tcfg, state.epoch)
         kf_weight = phases_lib.kf_weight_for_phase(phase)
         if tcfg.kf_weight_ramp and phase != "vae":
             # 1/w, 2/w, ..., 1 over the warmup epochs, then held at 1 — a
@@ -141,6 +161,7 @@ def make_raw_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
             losses, _ = model.apply(
                 {"params": params}, x, tau=tau, beta=beta,
                 kf_weight=kf_weight, vae_weight=1.0, train=True,
+                noise_scale=noise_scale,
                 rngs={"sample": k_sample, "gumbel": k_gumbel},
                 method=KVAE.forward_and_loss,
             )
@@ -174,6 +195,7 @@ def make_raw_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
             "learning_rate": lr,
             "beta": beta,
             "tau": tau,
+            "noise_scale": noise_scale,
         }
         new_state = state.replace(
             params=params, opt_state=opt_state, key=key, step=state.step + 1
@@ -235,6 +257,7 @@ def make_eval_epoch_runner(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig):
     @partial(jax.jit, static_argnames=())
     def epoch_run(state: TrainState, images: jax.Array, order: jax.Array, key: jax.Array):
         beta, tau, _ = _schedules(cfg, tcfg, state.epoch)
+        noise_scale = noise_scale_for_epoch(cfg, tcfg, state.epoch)
         n_batches = order.shape[0] // bs
 
         def body(carry, i):
@@ -244,6 +267,7 @@ def make_eval_epoch_runner(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig):
             k_sample, k_gumbel = jax.random.split(jax.random.fold_in(key, i))
             losses, outputs = model.apply(
                 {"params": state.params}, x, tau=tau, beta=beta, train=False,
+                noise_scale=noise_scale,
                 rngs={"sample": k_sample, "gumbel": k_gumbel},
                 method=KVAE.forward_and_loss,
             )
@@ -287,10 +311,11 @@ def make_eval_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig):
     @jax.jit
     def eval_step(state: TrainState, x: jax.Array, key: jax.Array):
         beta, tau, _ = _schedules(cfg, tcfg, state.epoch)
+        noise_scale = noise_scale_for_epoch(cfg, tcfg, state.epoch)
         k_sample, k_gumbel = jax.random.split(key)
         losses, outputs = model.apply(
             {"params": state.params}, x, tau=tau, beta=beta,
-            train=False,
+            train=False, noise_scale=noise_scale,
             rngs={"sample": k_sample, "gumbel": k_gumbel},
             method=KVAE.forward_and_loss,
         )

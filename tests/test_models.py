@@ -476,3 +476,53 @@ def test_kvae_bfloat16_compute_path(rng):
             continue
         cos = float(a @ b / (na * nb))
         assert cos > 0.98, (jax.tree_util.keystr(p32), cos)
+
+
+# ---------------------------------------------------------------------------
+# noise-floor anneal (training-time LGSSM noise_scale)
+# ---------------------------------------------------------------------------
+
+def test_noise_scale_loss_equals_widened_config(rng):
+    """`loss(noise_scale=s)` under a TIGHT config must equal `loss()` under a
+    config whose noise_emission/noise_transition are s-times wider, given
+    identical forward outputs — the anneal multiplier IS the wide config on
+    the LGSSM side (it deliberately does NOT widen the encoder's variance
+    bound, which is the point: only the KF floors needed widening for the
+    T=100 warmup shock)."""
+    s = 10.0
+    tight = _cfg(dynamics_model="lstm", noise_emission=0.03,
+                 noise_transition=0.02)
+    wide = _cfg(dynamics_model="lstm", noise_emission=0.03 * s,
+                noise_transition=0.02 * s)
+    x = _x(rng)
+    model_t, variables = _init_kvae(tight, x)
+    model_w = KVAE(wide)  # same param structure: reuse variables
+    rngs = {"sample": jax.random.PRNGKey(3), "gumbel": jax.random.PRNGKey(4)}
+
+    # The scaled LGSSM params ARE the wide config's params
+    p_scaled = model_t.bind(variables)._scaled_lgssm_params(jnp.asarray(s))
+    p_wide = model_w.bind(variables).lgssm_params
+    np.testing.assert_allclose(np.asarray(p_scaled.R), np.asarray(p_wide.R), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(p_scaled.Q), np.asarray(p_wide.Q), rtol=1e-6)
+
+    # One forward to produce a shared outputs dict (the wide model's — which
+    # floors produced it is irrelevant for the loss-equivalence below)
+    out_w = model_w.apply(variables, x, tau=jnp.asarray(1.0), train=True, rngs=rngs)
+
+    loss_rngs = {"sample": jax.random.PRNGKey(7)}
+    l_t = model_t.apply(
+        variables, x, out_w, noise_scale=jnp.asarray(s),
+        rngs=loss_rngs, method=KVAE.loss,
+    )
+    l_w = model_w.apply(variables, x, out_w, rngs=loss_rngs, method=KVAE.loss)
+    np.testing.assert_allclose(
+        float(l_t["elbo_kf"]), float(l_w["elbo_kf"]), rtol=1e-6
+    )
+    # scale=1 (the default) is the unscaled model
+    l_1 = model_t.apply(variables, x, out_w, rngs=loss_rngs, method=KVAE.loss)
+    assert abs(float(l_1["elbo_kf"]) - float(l_t["elbo_kf"])) > 1e-3
+
+
+def test_noise_anneal_init_validation():
+    with pytest.raises(ValueError, match="noise_anneal_init"):
+        _cfg(noise_anneal_init=0.5)

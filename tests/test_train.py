@@ -817,3 +817,28 @@ def test_train_2d_data_time_mesh_matches_1d(tmp_path):
     l1d = _run_mesh_train(tmp_path, "mesh4x1", {"num_devices": 4})
     assert len(l2d) == len(l1d) == 2
     np.testing.assert_allclose(l2d, l1d, rtol=2e-2)
+
+
+def test_noise_scale_schedule():
+    """Noise-floor anneal: hold at noise_anneal_init through pretrain+warmup,
+    log-linear decay to 1.0 over noise_anneal_epochs (config docstring)."""
+    from kvae_tpu.train.state import noise_scale_for_epoch
+
+    cfg = KVAEConfig(noise_anneal_init=10.0, noise_anneal_epochs=4)
+    tcfg = TrainingConfig(pretrain_vae_epochs=2, warmup_epochs=3)
+    sc = lambda e: float(noise_scale_for_epoch(cfg, tcfg, jnp.asarray(e)))
+    for e in (1, 3, 5):  # pretrain + warmup: held wide
+        assert sc(e) == pytest.approx(10.0)
+    assert sc(6) == pytest.approx(10.0 ** 0.75)   # 1/4 through the ramp
+    assert sc(7) == pytest.approx(10.0 ** 0.5)
+    assert sc(9) == pytest.approx(1.0)            # ramp done
+    assert sc(50) == pytest.approx(1.0)
+
+    # anneal_epochs=0: snap to the config floors at the first all-phase epoch
+    cfg0 = KVAEConfig(noise_anneal_init=10.0, noise_anneal_epochs=0)
+    assert float(noise_scale_for_epoch(cfg0, tcfg, jnp.asarray(5))) == pytest.approx(10.0)
+    assert float(noise_scale_for_epoch(cfg0, tcfg, jnp.asarray(6))) == pytest.approx(1.0)
+
+    # default: identically 1 (and statically so — no anneal in the program)
+    cfg1 = KVAEConfig()
+    assert float(noise_scale_for_epoch(cfg1, tcfg, jnp.asarray(3))) == 1.0
