@@ -228,9 +228,19 @@ class KVAE(nn.Module):
                         if not fits_vmem(cfg_.z_dim, cfg_.u_dim, cfg_.a_dim):
                             impl = "scan"
                 if impl in ("pallas", "pallas_adjoint") and self.dynamics.K > 1:
-                    from kvae_tpu.ops.pallas_kf_lstm import MAX_BATCH
+                    from kvae_tpu.ops.pallas_kf_lstm import (
+                        MAX_BATCH,
+                        fits_vmem_lstm,
+                    )
 
-                    fusible = b <= MAX_BATCH
+                    # Both gates are silent fallbacks to the coupled scan:
+                    # batch beyond the single-tile kernel, or a state width
+                    # outside the kernel's probe-validated scoped-VMEM
+                    # envelope (z=12/K=9 at T=100 OOMs Mosaic's stack
+                    # non-monotonically in T — fits_vmem_lstm docstring).
+                    fusible = b <= MAX_BATCH and fits_vmem_lstm(
+                        cfg.z_dim, cfg.u_dim, cfg.a_dim, self.dynamics.K,
+                    )
                 else:
                     fusible = False
                 if fusible:

@@ -224,13 +224,36 @@ def _lstm_filter_kernel(
         ref_o[...] = v
 
 
-def _chunk_len_lstm(T: int, n: int, m: int, p: int, K: int, H: int) -> int:
-    tiles_per_step = (
+def _tiles_per_step_lstm(n: int, m: int, p: int, K: int) -> int:
+    return (
         p + m + 1                                   # time ins
         + n + n * n + n + n * n                     # muf/sigf/mup/sigp
         + n * n + n * m + p * n + K                 # A,B,C,alpha
     )
-    return _steps_in_budget(T, tiles_per_step)
+
+
+def _chunk_len_lstm(T: int, n: int, m: int, p: int, K: int, H: int) -> int:
+    return _steps_in_budget(T, _tiles_per_step_lstm(n, m, p, K))
+
+
+# Probe-calibrated fusion envelope. Above ~400 [8,128] tiles of time-axis
+# blocks per step, Mosaic's scoped-VMEM stack allocation for this fused
+# kernel becomes UNPREDICTABLE in T even at chunk length 1: measured on a
+# real v5e toolchain (2026-08-21, n=12 m=12 p=6 K=9, ct=1), T=56/72/100
+# OOM the 16 MiB scoped stack at ~28.8 MiB while T=24/50/64/80/128 compile
+# fine — non-monotone in T, so no byte-budget formula can gate it. Below
+# the threshold (n<=8-class states, e.g. n=8 m=8 p=4 K=9 -> 326 tiles)
+# every probed (T, B) compiled. The gate therefore admits only the
+# validated regime; wider states take the coupled-scan path.
+_LSTM_FUSE_MAX_TILES = 400
+
+
+def fits_vmem_lstm(n: int, m: int, p: int, K: int, H: int = 0) -> bool:
+    """Can the fused masked-LSTM kernel be safely compiled for this state
+    width? (See _LSTM_FUSE_MAX_TILES — probe-calibrated, conservative.)
+    Checked by KVAE.__call__'s fusible-path gate alongside MAX_BATCH."""
+    del H  # h/c carries are T-independent; the hazard scales with time blocks
+    return _tiles_per_step_lstm(n, m, p, K) <= _LSTM_FUSE_MAX_TILES
 
 
 def _call_chunks(

@@ -177,3 +177,14 @@ def test_kvae_impute_uses_fused_path_and_matches_scan():
             np.asarray(got[k]), np.asarray(want[k]), rtol=1e-4, atol=1e-5,
             err_msg=k,
         )
+
+
+def test_fits_vmem_lstm_envelope():
+    """Probe-calibrated fusion gate: flagship-class states fuse, the
+    z=12/K=9 T=100 config that OOM'd Mosaic's scoped stack does not."""
+    from kvae_tpu.ops.pallas_kf_lstm import fits_vmem_lstm
+
+    assert fits_vmem_lstm(4, 4, 2, 3)        # flagship (z=4, a=2, K=3)
+    assert fits_vmem_lstm(8, 8, 4, 9)        # n=8-class: probed OK at all T
+    assert not fits_vmem_lstm(12, 12, 6, 9)  # the T=100 quality config
+    assert not fits_vmem_lstm(12, 12, 6, 3)  # K alone is not the hazard
