@@ -115,6 +115,18 @@ class KVAEConfig:
     #                                  the noise_anneal_init -> 1.0 decay;
     #                                  0 = drop to 1.0 at the first all-phase
     #                                  epoch.
+    impute_loss_weight: float = 0.0  # weight of the explicit imputation term:
+    #                                  decode C_t z_t^smooth at TRAINING-time
+    #                                  masked frames and score the true pixels
+    #                                  under out_distr (scaled by kf_weight so
+    #                                  it ramps in with the dynamics). The
+    #                                  reference trains fully observed
+    #                                  (kvae/train/train.py:40-41), so its
+    #                                  smoothed bridge is never pixel-
+    #                                  supervised — at T=100 with a 40-frame
+    #                                  planning gap that leaves the gap
+    #                                  trajectory unconstrained. Requires
+    #                                  training.train_mask_prob > 0.
 
     _FILTER_IMPLS = ("scan", "assoc", "pallas", "pallas_adjoint", "seqpar", "auto")
 
@@ -185,6 +197,23 @@ class TrainingConfig:
     #                                     gradient; >1 speeds up dynamics
     #                                     convergence (multi-seed study,
     #                                     PARITY.md)
+    train_mask_prob: float = 0.0        # mask-aware training: per-sequence
+    #                                     probability of hiding a contiguous
+    #                                     span of frames from the Kalman
+    #                                     update during a train step (the
+    #                                     imputation regime). The reference
+    #                                     trains fully observed, so at impute
+    #                                     time its dynamics run on prediction
+    #                                     feedback they never saw in training;
+    #                                     masked training closes that
+    #                                     distribution gap. 0 = off
+    #                                     (reference behavior).
+    train_mask_steps: int = 0           # masked-span length for
+    #                                     train_mask_prob (e.g. the config's
+    #                                     t_steps_mask to match the eval gap)
+    train_mask_t_min: int = 1           # earliest maskable frame index (keep
+    #                                     a short observed prefix so the
+    #                                     filter can anchor)
     kf_weight_ramp: bool = False        # ramp kf_weight 0 -> 1 linearly over the
     #                                     warmup phase instead of the reference's
     #                                     step jump at warmup start — protects the

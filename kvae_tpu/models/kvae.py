@@ -345,6 +345,44 @@ class KVAE(nn.Module):
             elbo_kf = jnp.mean(jax.vmap(one_elbo)(keys))
 
         elbo_total = vae_weight * vae_elbo + kf_weight * elbo_kf
+
+        # Explicit imputation supervision (config.impute_loss_weight
+        # docstring): the masked frames are excluded from every reference
+        # loss term, so the smoothed bridge C_t z_t^smooth is otherwise
+        # pixel-unconstrained across a training-time gap. Scored under the
+        # same out_distr as the reconstruction; gradient flows through the
+        # decoder AND the whole filter/smoother into the dynamics.
+        recon_imp = jnp.asarray(0.0, jnp.float32)
+        if cfg.impute_loss_weight > 0 and mask is not None:
+            from kvae_tpu.models.losses import _bce_with_logits
+            from kvae_tpu.ops.gaussian import log_gaussian
+
+            a_imp = einsum(
+                "btpn,btn->btp", outputs["C"], outputs["mus_smooth"]
+            )
+            logits_imp = self.decode_sequence(a_imp)
+            if cfg.out_distr.lower() == "bernoulli":
+                ll_frame = -jnp.sum(
+                    _bce_with_logits(logits_imp, x), axis=(2, 3, 4)
+                )
+            else:
+                ll_frame = jnp.sum(
+                    log_gaussian(
+                        x, logits_imp, jnp.asarray(cfg.noise_pixel_var, x.dtype)
+                    ),
+                    axis=(2, 3, 4),
+                )
+            unobs = 1.0 - mask.astype(x.dtype)
+            recon_imp = jnp.sum(ll_frame * unobs) / jnp.clip(
+                jnp.sum(unobs), min=1.0
+            )
+            # kf_weight gates it out of the VAE-pretrain phase and ramps it
+            # with the dynamics; scale_reconstruction matches the recon term.
+            elbo_total = elbo_total + (
+                cfg.impute_loss_weight * kf_weight
+                * cfg.scale_reconstruction * recon_imp
+            )
+
         active_units, variances = count_active_units(outputs["a_mu"])
         return {
             "loss": -elbo_total,
@@ -352,6 +390,7 @@ class KVAE(nn.Module):
             "elbo_kf": elbo_kf,
             "elbo_vae_total": vae_elbo,
             "recon": recon,
+            "recon_imp": recon_imp,
             "kl": regularization,
             "active_units": active_units,
             "latent_variances": variances,

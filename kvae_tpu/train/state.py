@@ -129,6 +129,23 @@ def noise_scale_for_epoch(
     )
 
 
+def make_train_mask(
+    key: jax.Array, batch: int, T: int, steps: int, prob: float, t_min: int
+) -> jax.Array:
+    """Random contiguous-span mask for mask-aware training
+    (training.train_mask_prob): per sequence, with probability `prob`, hide
+    `steps` frames starting uniformly in [t_min, T - steps]. 1 = observed.
+    Static shapes (traced values) — jit/scan safe."""
+    k_start, k_use = jax.random.split(key)
+    start = jax.random.randint(
+        k_start, (batch,), t_min, max(T - steps + 1, t_min + 1)
+    )
+    t = jnp.arange(T)[None, :]
+    in_span = (t >= start[:, None]) & (t < (start + steps)[:, None])
+    use = jax.random.bernoulli(k_use, prob, (batch,))[:, None]
+    return 1.0 - (in_span & use).astype(jnp.float32)
+
+
 def make_raw_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
     """The un-jitted train-step function (phase static). Jitted directly by
     `make_train_step`, or scanned over a whole epoch by `make_epoch_runner`."""
@@ -148,7 +165,7 @@ def make_raw_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
                 jnp.asarray(state.epoch, jnp.float32) - tcfg.pretrain_vae_epochs
             ) / w
             kf_weight = kf_weight * jnp.clip(frac, 0.0, 1.0)
-        key, k_sample, k_gumbel, k_noise = jax.random.split(state.key, 4)
+        key, k_sample, k_gumbel, k_noise, k_mask = jax.random.split(state.key, 5)
         if tcfg.add_noise_std > 0:
             # `transforms: add_noise_std` — the reference's host-side
             # TransformDataset additive noise (kvae/vae/train_vae.py:241-251)
@@ -156,10 +173,19 @@ def make_raw_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
             x = x + tcfg.add_noise_std * jax.random.normal(
                 k_noise, x.shape, x.dtype
             )
+        if tcfg.train_mask_prob > 0 and tcfg.train_mask_steps > 0:  # static
+            # Mask-aware training (train_mask_prob docstring): the model
+            # trains in the imputation regime it will be evaluated in.
+            mask = make_train_mask(
+                k_mask, x.shape[0], x.shape[1], tcfg.train_mask_steps,
+                tcfg.train_mask_prob, tcfg.train_mask_t_min,
+            )
+        else:
+            mask = None
 
         def loss_fn(params):
             losses, _ = model.apply(
-                {"params": params}, x, tau=tau, beta=beta,
+                {"params": params}, x, mask=mask, tau=tau, beta=beta,
                 kf_weight=kf_weight, vae_weight=1.0, train=True,
                 noise_scale=noise_scale,
                 rngs={"sample": k_sample, "gumbel": k_gumbel},
@@ -196,6 +222,7 @@ def make_raw_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
             "beta": beta,
             "tau": tau,
             "noise_scale": noise_scale,
+            "recon_imp": losses["recon_imp"],
         }
         new_state = state.replace(
             params=params, opt_state=opt_state, key=key, step=state.step + 1

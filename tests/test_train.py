@@ -842,3 +842,35 @@ def test_noise_scale_schedule():
     # default: identically 1 (and statically so — no anneal in the program)
     cfg1 = KVAEConfig()
     assert float(noise_scale_for_epoch(cfg1, tcfg, jnp.asarray(3))) == 1.0
+
+
+def test_train_mask_and_impute_loss():
+    """Mask-aware training: random span masks have the configured length and
+    prefix, the imputation loss term engages only with a mask, and the
+    masked train step runs finite."""
+    from kvae_tpu.train.state import make_train_mask
+
+    m = make_train_mask(jax.random.PRNGKey(0), 64, 20, 8, 1.0, 2)
+    m = np.asarray(m)
+    assert m.shape == (64, 20)
+    assert np.all(m[:, :2] == 1.0)          # protected prefix
+    assert np.all((20 - m.sum(axis=1)) == 8)  # span length exact at prob=1
+    m_half = np.asarray(make_train_mask(jax.random.PRNGKey(1), 256, 20, 8, 0.5, 2))
+    frac = np.mean(m_half.sum(axis=1) < 20)
+    assert 0.3 < frac < 0.7                  # ~half the sequences masked
+
+    cfg = KVAEConfig(dynamics_model="lstm", impute_loss_weight=1.0)
+    tcfg = TrainingConfig(batch_size=4, donate_state=False,
+                          train_mask_prob=0.5, train_mask_steps=6)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(4, 12, 1, 32, 32)).astype(np.float32))
+    model, state, tx = create_train_state(cfg, tcfg, x)
+    step = make_train_step(model, cfg, tcfg, tx)
+    st, metrics = step(state, x, "all")
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["recon_imp"]) != 0.0  # the term engaged
+    # unmasked config: term stays exactly zero and the step is unchanged
+    tcfg0 = TrainingConfig(batch_size=4, donate_state=False)
+    model0, state0, tx0 = create_train_state(cfg, tcfg0, x)
+    st0, metrics0 = make_train_step(model0, cfg, tcfg0, tx0)(state0, x, "all")
+    assert float(metrics0["recon_imp"]) == 0.0
