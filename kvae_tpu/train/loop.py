@@ -528,6 +528,18 @@ def _train_single(config: dict, runs_dir: Path | None = None) -> dict:
             + (f"| {impute_msg}" if impute_msg else "")
         )
 
+        if not np.isfinite(train_metrics["loss"]):
+            # Fail fast on divergence: a NaN loss never recovers (every Adam
+            # moment is already NaN) — training on would only burn chip time.
+            # The last finite-epoch kvae-latest remains on disk for resume;
+            # restart-triage ranks this candidate by its pre-divergence probe
+            # (or inf), which is the protocol's divergence handling.
+            logger.error(
+                f"epoch {epoch} [{phase}]: train loss is not finite "
+                f"({train_metrics['loss']}) — aborting this run (diverged)"
+            )
+            break
+
         state = state.replace(
             best_val=jnp.minimum(state.best_val, val_metrics["loss"])
         )

@@ -874,3 +874,44 @@ def test_train_mask_and_impute_loss():
     model0, state0, tx0 = create_train_state(cfg, tcfg0, x)
     st0, metrics0 = make_train_step(model0, cfg, tcfg0, tx0)(state0, x, "all")
     assert float(metrics0["recon_imp"]) == 0.0
+
+
+def test_nan_abort_stops_training(tmp_path, monkeypatch):
+    """A NaN train loss aborts the run at that epoch (fail-fast on
+    divergence) instead of burning the remaining epochs."""
+    from kvae_tpu.config import parse_config_dict
+    from kvae_tpu.train import loop as loop_lib
+
+    calls = {"n": 0}
+    real_make = loop_lib.make_train_step
+
+    def poisoned_make(model, cfg, tcfg, tx):
+        real_step = real_make(model, cfg, tcfg, tx)
+
+        def step(state, x, phase):
+            state, metrics = real_step(state, x, phase)
+            calls["n"] += 1
+            if calls["n"] >= 3:
+                metrics = dict(metrics)
+                metrics["loss"] = jnp.asarray(jnp.nan)
+            return state, metrics
+
+        return step
+
+    monkeypatch.setattr(loop_lib, "make_train_step", poisoned_make)
+    config = parse_config_dict({
+        "dataset": {"type": "bouncing_ball", "val_split": 0.25,
+                    "kwargs": {"num_sequences": 16, "seq_len": 6,
+                               "img_size": 32, "seed": 0}},
+        "training": {"seed": 1, "max_epochs": 10, "batch_size": 4,
+                     "pretrain_vae_epochs": 1, "warmup_epochs": 1,
+                     "fused_epochs": False, "ckpt_every": 100,
+                     "logdir": str(tmp_path)},
+        "kvae": {"a_dim": 2, "z_dim": 4, "num_modes": 1,
+                 "dynamics_model": "lstm"},
+    })
+    res = loop_lib.train(config, runs_dir=tmp_path / "run")
+    log = (tmp_path / "run" / "train.log").read_text()
+    assert "aborting this run (diverged)" in log
+    # 3 batches/epoch -> NaN lands in epoch 1; no epoch-2 line was trained
+    assert "epoch 002" not in log
