@@ -165,6 +165,9 @@ def _assert_close(name, got, want, rtol, atol):
     np.testing.assert_allclose(g, w, rtol=rtol, atol=atol, err_msg=name)
 
 
+@pytest.mark.slow  # grads through the assoc combine chain compile for
+# minutes on CPU; the non-adversarial assoc equivalence gates stay fast and
+# the real-TPU adversarial spot check is recorded in PARITY.md
 def test_illconditioned_scan_vs_assoc(rng):
     """n=8 routes the scan path's solves through solve_small; assoc builds
     the non-symmetric I + C J elements that first exposed the pivot bug."""

@@ -73,6 +73,7 @@ def test_fused_lstm_filter_matches_coupled_scan(masked):
         )
 
 
+@pytest.mark.slow  # chunk-grid equivalence, interpret mode (~1.5 min)
 def test_fused_lstm_filter_chunked_time_axis():
     """T larger than one chunk: carry crosses the chunk grid correctly."""
     import kvae_tpu.ops.pallas_kf_lstm as mod
@@ -104,6 +105,8 @@ def test_fused_lstm_filter_chunked_time_axis():
     )
 
 
+@pytest.mark.slow  # interpret-mode fwd+bwd kernels: ~3 min on CPU; the
+# filter-equivalence gate above stays fast
 def test_fused_lstm_smoother_and_grads():
     # sigma0=1: the default sigma0=20 start makes this random system's
     # gradients chaotic (|g| ~ 1e4) — 1e-5 forward rounding differences
@@ -150,6 +153,7 @@ def test_fused_lstm_smoother_and_grads():
         )
 
 
+@pytest.mark.slow  # full KVAE impute through the interpret-mode kernel
 def test_kvae_impute_uses_fused_path_and_matches_scan():
     """End-to-end: KVAE.impute on the pallas engine (fused coupled kernel)
     equals the scan engine's imputation outputs."""

@@ -37,7 +37,12 @@ def _system(rng, T=T):
     return y, u, mask, params, dyn
 
 
-@pytest.mark.parametrize("n_shards", [2, 4, 8])
+@pytest.mark.parametrize(
+    "n_shards",
+    [pytest.param(2, marks=pytest.mark.slow),
+     pytest.param(4, marks=pytest.mark.slow),
+     8],  # the full-width shard count stays in the fast suite
+)
 def test_seqpar_matches_sequential(rng, n_shards):
     y, u, mask, params, dyn = _system(rng)
     ref = lgssm_smooth(y, u, mask, params, dynamics=dyn)
@@ -88,6 +93,7 @@ def test_seqpar_unmasked(rng):
     )
 
 
+@pytest.mark.slow  # grads through the ppermute prefix exchange: ~2 min
 def test_seqpar_differentiable(rng):
     """Gradients flow through the collectives and match the sequential path."""
     y, u, mask, params, dyn = _system(rng)
