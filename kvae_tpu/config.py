@@ -214,6 +214,17 @@ class TrainingConfig:
     train_mask_t_min: int = 1           # earliest maskable frame index (keep
     #                                     a short observed prefix so the
     #                                     filter can anchor)
+    train_mask_end_epoch: int = 0       # mask curriculum end: after this
+    #                                     epoch, train fully observed again
+    #                                     (0 = masked to the end). Masked
+    #                                     epochs teach gap bridging but trade
+    #                                     away one-step prediction (measured
+    #                                     at T=100: impute 0.10 -> 0.064,
+    #                                     pred 0.04 -> 0.08 vs naive 0.04);
+    #                                     a final unmasked stretch lets the
+    #                                     run also ship a pred-capable
+    #                                     checkpoint. Traced epoch gate — no
+    #                                     recompiles.
     kf_weight_ramp: bool = False        # ramp kf_weight 0 -> 1 linearly over the
     #                                     warmup phase instead of the reference's
     #                                     step jump at warmup start — protects the

@@ -188,6 +188,13 @@ def make_raw_train_step(model: KVAE, cfg: KVAEConfig, tcfg: TrainingConfig, tx):
                 k_mask, x.shape[0], x.shape[1], tcfg.train_mask_steps,
                 tcfg.train_mask_prob, tcfg.train_mask_t_min,
             )
+            if tcfg.train_mask_end_epoch > 0:  # static; the gate is traced
+                # Mask curriculum (train_mask_end_epoch docstring): fully
+                # observed again after the end epoch.
+                mask = jnp.where(
+                    state.epoch <= tcfg.train_mask_end_epoch,
+                    mask, jnp.ones_like(mask),
+                )
         else:
             mask = None
 

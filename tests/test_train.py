@@ -920,3 +920,21 @@ def test_nan_abort_stops_training(tmp_path, monkeypatch):
     assert "aborting this run (diverged)" in log
     # 3 batches/epoch -> NaN lands in epoch 1; no epoch-2 line was trained
     assert "epoch 002" not in log
+
+
+def test_train_mask_curriculum_end():
+    """After train_mask_end_epoch the step trains fully observed again
+    (traced epoch gate)."""
+    cfg = KVAEConfig(dynamics_model="lstm", impute_loss_weight=1.0)
+    tcfg = TrainingConfig(batch_size=2, donate_state=False,
+                          train_mask_prob=1.0, train_mask_steps=4,
+                          train_mask_end_epoch=3)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.uniform(size=(2, 8, 1, 32, 32)).astype(np.float32))
+    model, state, tx = create_train_state(cfg, tcfg, x)
+    step = make_train_step(model, cfg, tcfg, tx)
+    _, m_in = step(state, x, "all")                    # epoch 1 <= 3: masked
+    assert float(m_in["recon_imp"]) != 0.0
+    state4 = state.replace(epoch=jnp.asarray(4, jnp.int32))
+    _, m_out = step(state4, x, "all")                  # epoch 4 > 3: observed
+    assert float(m_out["recon_imp"]) == 0.0
